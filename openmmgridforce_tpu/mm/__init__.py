@@ -1,0 +1,7 @@
+from .amber import AmberTopology, load_inpcrd, load_prmtop  # noqa: F401
+from .integrators import (MDState, initialize_state,  # noqa: F401
+                          instantaneous_temperature, kinetic_energy,
+                          make_langevin_step, make_verlet_step, run_segment,
+                          run_trajectory)
+from .system import (GridBinding, System, energy_and_forces,  # noqa: F401
+                     potential_energy, system_from_amber)

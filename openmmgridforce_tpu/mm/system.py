@@ -1,0 +1,151 @@
+"""System pytree: masses, bonded terms and the intra-ligand pair table.
+
+Functional replacement for the OpenMM System/Context pair that the reference
+plugged into (SURVEY section 1): all simulation inputs live in one frozen
+pytree, built from an AMBER topology, and total energies/forces are pure
+functions of (system, grids, positions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid
+from ..ops.interpolate import evaluate_grid
+from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
+from .amber import AmberTopology
+from .forcefield import bonded_energy
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class System:
+    masses: jax.Array          # [N] amu
+    charges: jax.Array         # [N] e
+    sigmas: jax.Array          # [N] nm
+    epsilons: jax.Array        # [N] kJ/mol
+    bond_idx: jax.Array        # [B, 2]
+    bond_k: jax.Array
+    bond_r0: jax.Array
+    angle_idx: jax.Array       # [A, 3]
+    angle_k: jax.Array
+    angle_t0: jax.Array
+    torsion_idx: jax.Array     # [T, 4]
+    torsion_k: jax.Array
+    torsion_per: jax.Array
+    torsion_phase: jax.Array
+    pairs: Optional[PairTable] = None
+
+    @property
+    def num_atoms(self) -> int:
+        return self.masses.shape[0]
+
+
+def system_from_amber(top: AmberTopology, dtype=jnp.float64,
+                      hydrogen_mass: Optional[float] = None,
+                      include_nonbonded: bool = True) -> System:
+    """Build a System from a parsed AMBER topology.
+
+    ``hydrogen_mass``: if set, repartition hydrogen masses to this value,
+    subtracting the difference from the bonded heavy atom (OpenMM's
+    hydrogenMass option used by the sampler, reference
+    example/sampler.py:476-482).
+    """
+    masses = np.array(top.masses, dtype=float)
+    if hydrogen_mass is not None:
+        is_h = masses < 2.0  # hydrogens (and extra points excluded: mass 0)
+        is_h &= masses > 0.0
+        for (i, j) in top.bond_idx:
+            hi, heavy = (i, j) if is_h[i] and not is_h[j] else \
+                ((j, i) if is_h[j] and not is_h[i] else (None, None))
+            if hi is not None:
+                delta = hydrogen_mass - masses[hi]
+                masses[hi] += delta
+                masses[heavy] -= delta
+
+    pairs = None
+    if include_nonbonded:
+        exceptions = []
+        excl = set(top.exclusions)
+        for p, (i, j) in enumerate(top.pairs14):
+            qq = top.charges[i] * top.charges[j] / top.scee[p]
+            sg = 0.5 * (top.sigmas[i] + top.sigmas[j])
+            ep = np.sqrt(top.epsilons[i] * top.epsilons[j]) / top.scnb[p]
+            exceptions.append((int(i), int(j), qq, sg, ep))
+        pairs = build_pair_table(top.charges, top.sigmas, top.epsilons,
+                                 exclusions=sorted(excl),
+                                 exceptions=exceptions,
+                                 dtype=np.dtype(dtype))
+
+    def arr(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def iarr(x):
+        return jnp.asarray(x, dtype=jnp.int32)
+
+    return System(
+        masses=arr(masses),
+        charges=arr(top.charges),
+        sigmas=arr(top.sigmas),
+        epsilons=arr(top.epsilons),
+        bond_idx=iarr(top.bond_idx),
+        bond_k=arr(top.bond_k),
+        bond_r0=arr(top.bond_r0),
+        angle_idx=iarr(top.angle_idx),
+        angle_k=arr(top.angle_k),
+        angle_t0=arr(top.angle_t0),
+        torsion_idx=iarr(top.torsion_idx),
+        torsion_k=arr(top.torsion_k),
+        torsion_per=arr(top.torsion_per),
+        torsion_phase=arr(top.torsion_phase),
+        pairs=pairs,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridBinding:
+    """A grid plus the per-atom scaling factors that couple atoms to it."""
+
+    grid: Grid
+    scaling: jax.Array  # [N]
+
+
+def potential_energy(system: System, grids: Sequence[GridBinding],
+                     positions):
+    """Total potential energy (differentiable)."""
+    e = bonded_energy(positions, system)
+    if system.pairs is not None:
+        e = e + pair_energy_forces(system.pairs, positions)[0]
+    for gb in grids:
+        e = e + evaluate_grid(gb.grid, positions, gb.scaling).energy
+    return e
+
+
+def energy_and_forces(system: System, grids: Sequence[GridBinding],
+                      positions):
+    """Total energy and forces.
+
+    Grid forces use the closed-form gradients (matching the reference
+    kernels' conventions exactly, including OOB restraints and inv-power
+    chain rules); bonded and pair terms use jax.grad of their energies.
+    """
+    def smooth_energy(x):
+        e = bonded_energy(x, system)
+        if system.pairs is not None:
+            e = e + pair_energy_forces(system.pairs, x)[0]
+        return e
+
+    e_smooth, g = jax.value_and_grad(smooth_energy)(positions)
+    energy = e_smooth
+    forces = -g
+    for gb in grids:
+        res = evaluate_grid(gb.grid, positions, gb.scaling)
+        energy = energy + res.energy
+        forces = forces + res.forces
+    return energy, forces

@@ -1,0 +1,206 @@
+"""Grid generation: receptor fields sampled on a rectilinear grid.
+
+TPU-native re-design of the reference's generation kernels
+(platforms/cuda/src/kernels/gridGeneration.cu): a broadcast
+(grid_chunk x receptor_atoms) contraction evaluated under ``lax.map`` over
+chunks so arbitrarily large grids stream through fixed-size device buffers
+(replacing the reference's cuLaunchKernel chunking at
+CudaGridForceKernels.cpp:1164-1214).
+
+Pipelines (matching the reference order of operations):
+  values only:  sum fields -> tanh cap -> [inv-power if enabled]
+                (gridGeneration.cu:198-371; note: the value path applies the
+                inv-power transform for ANY mode != NONE with inv_power != 0,
+                matching generateGridKernel which has no mode argument)
+  derivatives:  sum 27 Cartesian derivatives (radial tables + tensor
+                cascade) -> exact tanh chain rule -> [inv-power chain rule if
+                STORED] -> scale to cell-fractional units
+                (gridGeneration.cu:24-196)
+
+Clamps mirror the reference: r >= 1e-6 nm for values, r^2 >= 4e-4 nm^2 for
+derivatives (gridGeneration.cu:270, :91).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid, InterpolationMethod, InvPowerMode
+from ..units import DEFAULT_GRID_CAP, DEFAULT_OOB_K
+from . import radial
+from .chain_rules import (apply_invpower, apply_tanh_cap, invpower_value,
+                          tanh_cap_value)
+from .derivatives27 import DERIV_ORDERS
+
+_R_MIN_VALUES = 1e-6      # nm      (gridGeneration.cu:270)
+_R2_MIN_DERIVS = 4e-4     # nm^2    (gridGeneration.cu:90-93)
+
+
+def grid_point_positions(counts, spacing, origin, flat_index):
+    """Positions of grid points given flat (z-fastest) indices. [..., 3]."""
+    nx, ny, nz = counts
+    nyz = ny * nz
+    i = flat_index // nyz
+    rem = flat_index % nyz
+    j = rem // nz
+    k = rem % nz
+    ijk = jnp.stack([i, j, k], axis=-1)
+    return origin + ijk * spacing
+
+
+def _values_at_points(points, grid_type, positions, charges, sigmas,
+                      epsilons, grid_cap):
+    """Capped field values at points [..., 3]; receptor arrays [A]."""
+    dr = points[..., None, :] - positions          # [..., A, 3]
+    r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+    r = jnp.maximum(r, _R_MIN_VALUES)
+    contrib = radial.field_value(r, grid_type, charges, sigmas, epsilons)
+    total = jnp.sum(contrib, axis=-1)
+    return tanh_cap_value(total, grid_cap)
+
+
+def _derivs_at_points(points, grid_type, positions, charges, sigmas,
+                      epsilons, grid_cap, inv_power, inv_power_mode,
+                      spacing):
+    """All 27 cell-fractional derivatives at points [..., 3] -> [..., 27]."""
+    dr = points[..., None, :] - positions          # [..., A, 3]
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r2c = jnp.maximum(r2, _R2_MIN_DERIVS)
+    rad = radial.radial_derivatives(r2c, grid_type, charges, sigmas,
+                                    epsilons)      # [..., A, 7]
+    cart = radial.radial_to_cartesian(dr, rad)     # [..., A, 27]
+    U = jnp.sum(cart, axis=-2)                     # [..., 27]
+
+    V = apply_tanh_cap(U, grid_cap)
+    if inv_power != 0.0 and inv_power_mode == InvPowerMode.STORED:
+        V = apply_invpower(V, 1.0 / inv_power)
+
+    scale = np.array([
+        math.prod(float(s) ** o for s, o in zip(spacing, orders))
+        for orders in DERIV_ORDERS
+    ])
+    return V * jnp.asarray(scale, dtype=V.dtype)
+
+
+def generate_grid(counts,
+                  spacing,
+                  origin,
+                  grid_type: str,
+                  receptor_positions,
+                  charges,
+                  sigmas,
+                  epsilons,
+                  *,
+                  compute_derivatives: bool = False,
+                  grid_cap: float = DEFAULT_GRID_CAP,
+                  inv_power: float = 0.0,
+                  inv_power_mode: InvPowerMode = InvPowerMode.NONE,
+                  interp_method: InterpolationMethod =
+                  InterpolationMethod.TRILINEAR,
+                  oob_k: float = DEFAULT_OOB_K,
+                  chunk_size: int = 262144,
+                  dtype=jnp.float32) -> Grid:
+    """Generate one receptor grid (optionally with 27 analytic derivatives).
+
+    Streams the grid through fixed-size chunks with ``lax.map`` so the peak
+    device footprint is O(chunk_size * num_atoms) regardless of grid size.
+
+    Returns a :class:`Grid`. When derivatives are computed, ``vals`` is the
+    d=0 slice of the derivative array — NOTE this matches the reference's
+    analytic-derivative path, whose value differs from the values-only path
+    below 0.1*cap (the tanh chain rule passthrough, see
+    chain_rules.apply_tanh_cap) and in the r-clamp convention.
+    """
+    counts = tuple(int(c) for c in counts)
+    nx, ny, nz = counts
+    total = nx * ny * nz
+    spacing_arr = jnp.asarray(spacing, dtype=dtype)
+    origin_arr = jnp.asarray(origin, dtype=dtype)
+    positions = jnp.asarray(receptor_positions, dtype=dtype)
+    charges = jnp.asarray(charges, dtype=dtype)
+    sigmas = jnp.asarray(sigmas, dtype=dtype)
+    epsilons = jnp.asarray(epsilons, dtype=dtype)
+
+    n_chunks = max(1, -(-total // chunk_size))
+    padded = n_chunks * chunk_size
+    idx = jnp.arange(padded, dtype=jnp.int32).reshape(n_chunks, chunk_size)
+    # clamp padding to the last valid point; those outputs are discarded
+    idx = jnp.minimum(idx, total - 1)
+
+    def value_chunk(flat_index):
+        pts = grid_point_positions(counts, spacing_arr, origin_arr,
+                                   flat_index)
+        vals = _values_at_points(pts, grid_type, positions, charges, sigmas,
+                                 epsilons, grid_cap)
+        if inv_power != 0.0 and inv_power_mode != InvPowerMode.NONE:
+            # values-only storage transform (gridGeneration.cu:350-361);
+            # no 1e-10 dead zone on the generation side
+            sign = jnp.where(vals >= 0.0, 1.0, -1.0)
+            vals = sign * jnp.abs(vals) ** (1.0 / inv_power)
+        return vals
+
+    def deriv_chunk(flat_index):
+        pts = grid_point_positions(counts, spacing_arr, origin_arr,
+                                   flat_index)
+        return _derivs_at_points(pts, grid_type, positions, charges, sigmas,
+                                 epsilons, grid_cap, inv_power,
+                                 inv_power_mode, np.asarray(spacing))
+
+    if compute_derivatives:
+        derivs = jax.lax.map(jax.jit(deriv_chunk), idx)
+        derivs = derivs.reshape(padded, 27)[:total].reshape(nx, ny, nz, 27)
+        vals = derivs[..., 0]
+    else:
+        vals = jax.lax.map(jax.jit(value_chunk), idx)
+        vals = vals.reshape(padded)[:total].reshape(nx, ny, nz)
+        derivs = None
+
+    return Grid(
+        vals=vals,
+        derivs=derivs,
+        spacing=spacing_arr,
+        origin=origin_arr,
+        counts=counts,
+        interp_method=int(interp_method),
+        inv_power_mode=int(inv_power_mode),
+        inv_power=float(inv_power),
+        grid_cap=float(grid_cap),
+        oob_k=float(oob_k),
+        grid_type=grid_type,
+    )
+
+
+def auto_scaling_factors(grid_type: str, charges, sigmas, epsilons,
+                         convention: str = "rmin"):
+    """Per-atom scaling factors for a grid type.
+
+    ``convention``:
+      * "rmin":     sqrt(eps) * Rmin^k with Rmin = 2^(1/6) sigma — the
+                    CUDA/common platform convention
+                    (CudaGridForceKernels.cpp:172-185), consistent with the
+                    generated fields above.
+      * "diameter": sqrt(eps) * (2 sigma)^k — the reference-platform
+                    convention (ReferenceGridForceKernels.cpp:196-205).
+    """
+    charges = jnp.asarray(charges)
+    sigmas = jnp.asarray(sigmas)
+    epsilons = jnp.asarray(epsilons)
+    if grid_type == "charge":
+        return charges
+    if convention == "rmin":
+        from ..units import TWO_POW_ONE_SIXTH
+        d = TWO_POW_ONE_SIXTH * sigmas
+    elif convention == "diameter":
+        d = 2.0 * sigmas
+    else:
+        raise ValueError(f"unknown convention {convention!r}")
+    if grid_type == "ljr":
+        return jnp.sqrt(epsilons) * d ** 6
+    if grid_type == "lja":
+        return jnp.sqrt(epsilons) * d ** 3
+    raise ValueError(f"unknown grid type {grid_type!r}")
