@@ -8,7 +8,11 @@ nonbonded forces, Langevin MD with vmapped replicas, replica-exchange +
 genetic Monte Carlo sampling, and the reference's grid file formats.
 """
 
-from .grid import Grid, InterpolationMethod, InvPowerMode  # noqa: F401
-from .ops import GridEval, evaluate_grid, grid_energy  # noqa: F401
+from .utils import enable_compilation_cache  # noqa: F401
+
+enable_compilation_cache()
+
+from .grid import Grid, InterpolationMethod, InvPowerMode  # noqa: E402,F401
+from .ops import GridEval, evaluate_grid, grid_energy  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,536 @@
+"""Context / Simulation / integrator shells over the functional core.
+
+The reference delegated its runtime to OpenMM (System, Context, integrators,
+force groups — SURVEY section 1); this module supplies a minimal TPU-native
+equivalent with the same user-facing shapes:
+
+    system = create_system(prmtop_path)            # AmberPrmtopFile.createSystem
+    system.addForce(grid_force)                    # System.addForce
+    ctx = Context(system, LangevinIntegrator(300, 1, 0.002))
+    ctx.setPositions(x)
+    state = ctx.getState(getEnergy=True, groups={0})
+    state.getPotentialEnergy()
+    ctx.getIntegrator().step(100)
+
+Internally everything is resolved to frozen pytrees at Context creation and
+evaluated by one jitted function; stepping runs jitted lax.scan segments.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid
+from ..mm.amber import AmberTopology, load_prmtop
+from ..mm.forcefield import (angle_energy, bond_energy, torsion_energy)
+from ..mm.integrators import (MDState, initialize_state, make_langevin_step,
+                              make_verlet_step, run_segment)
+from ..ops.gridgen import auto_scaling_factors, generate_grid
+from ..ops.interpolate import evaluate_grid
+from ..ops.pairwise import pair_energy_forces
+from ..units import BOLTZ
+from .gridforce import Force, GridForce
+from .isolated import IsolatedNonbondedForce
+
+
+# ----------------------------------------------------------------------
+# Internal force wrappers (so `for f in system.getForces(): f.setForceGroup`
+# works like it does with OpenMM systems)
+# ----------------------------------------------------------------------
+
+class HarmonicBondForce(Force):
+    pass
+
+
+class HarmonicAngleForce(Force):
+    pass
+
+
+class PeriodicTorsionForce(Force):
+    pass
+
+
+class NonbondedForce(Force):
+    """Intra-system nonbonded (dense pair table) + per-atom parameters."""
+
+    def __init__(self, charges, sigmas, epsilons):
+        super().__init__()
+        self.charges = np.asarray(charges)
+        self.sigmas = np.asarray(sigmas)
+        self.epsilons = np.asarray(epsilons)
+
+    def getNumParticles(self):
+        return len(self.charges)
+
+    def getParticleParameters(self, i):
+        return (self.charges[i], self.sigmas[i], self.epsilons[i])
+
+
+class ApiSystem:
+    """Holds topology-derived terms plus user-added forces."""
+
+    def __init__(self, topology: AmberTopology,
+                 hydrogen_mass: Optional[float] = None,
+                 constraints: Optional[str] = None,
+                 remove_cm_motion: bool = True):
+        from ..mm.system import system_from_amber
+
+        self.topology = topology
+        self._core = system_from_amber(topology, dtype=jnp.float64,
+                                       hydrogen_mass=hydrogen_mass)
+        self.constraints = constraints
+        self._forces: List[Force] = [
+            HarmonicBondForce(),
+            HarmonicAngleForce(),
+            PeriodicTorsionForce(),
+            NonbondedForce(topology.charges, topology.sigmas,
+                           topology.epsilons),
+        ]
+
+    def getNumParticles(self):
+        return self.topology.natom
+
+    def getParticleMass(self, i):
+        return float(self._core.masses[i])
+
+    def addForce(self, force: Force):
+        self._forces.append(force)
+        return len(self._forces) - 1
+
+    def getForces(self):
+        return list(self._forces)
+
+    def getNumForces(self):
+        return len(self._forces)
+
+    def getForce(self, index):
+        return self._forces[index]
+
+    def removeForce(self, index):
+        del self._forces[index]
+
+
+def create_system(prmtop, hydrogen_mass=None, constraints=None,
+                  nonbonded_method="NoCutoff") -> ApiSystem:
+    """Mirror of ``AmberPrmtopFile.createSystem(nonbondedMethod=NoCutoff)``.
+
+    ``prmtop`` may be a path or a parsed AmberTopology."""
+    if nonbonded_method not in ("NoCutoff",):
+        raise NotImplementedError(
+            "only NoCutoff is supported (matching the reference workflows)")
+    top = prmtop if isinstance(prmtop, AmberTopology) else \
+        load_prmtop(prmtop)
+    return ApiSystem(top, hydrogen_mass=hydrogen_mass,
+                     constraints=constraints)
+
+
+# ----------------------------------------------------------------------
+# Integrators
+# ----------------------------------------------------------------------
+
+class _Integrator:
+    def __init__(self, dt):
+        self.dt = float(dt)
+        self._context: Optional["Context"] = None
+
+    def getStepSize(self):
+        return self.dt
+
+    def step(self, n):
+        self._context._step(int(n))
+
+
+class VerletIntegrator(_Integrator):
+    kind = "verlet"
+
+
+class LangevinIntegrator(_Integrator):
+    kind = "langevin"
+    scheme = "classic"
+
+    def __init__(self, temperature, friction, dt):
+        super().__init__(dt)
+        self.temperature = float(temperature)
+        self.friction = float(friction)
+
+    def getTemperature(self):
+        return self.temperature
+
+    def setTemperature(self, t):
+        self.temperature = float(t)
+        if self._context is not None:
+            self._context._invalidate_stepper()
+
+    def getFriction(self):
+        return self.friction
+
+
+class LangevinMiddleIntegrator(LangevinIntegrator):
+    scheme = "middle"
+
+
+# ----------------------------------------------------------------------
+# State
+# ----------------------------------------------------------------------
+
+class State:
+    def __init__(self, positions=None, velocities=None, energy=None,
+                 forces=None, kinetic=None):
+        self._positions = positions
+        self._velocities = velocities
+        self._energy = energy
+        self._forces = forces
+        self._kinetic = kinetic
+
+    def getPositions(self, asNumpy=True):
+        return self._positions
+
+    def getVelocities(self, asNumpy=True):
+        return self._velocities
+
+    def getPotentialEnergy(self):
+        return self._energy
+
+    def getKineticEnergy(self):
+        return self._kinetic
+
+    def getForces(self, asNumpy=True):
+        return self._forces
+
+
+# ----------------------------------------------------------------------
+# Context
+# ----------------------------------------------------------------------
+
+class _GridBindingInfo:
+    """Resolved evaluation plan for one GridForce."""
+
+    def __init__(self, grid: Grid, atom_indices, scaling, group_sizes):
+        self.grid = grid
+        self.atom_indices = jnp.asarray(atom_indices, dtype=jnp.int32)
+        self.scaling = jnp.asarray(scaling, dtype=jnp.float64)
+        self.group_sizes = group_sizes  # list[int], empty if no groups
+
+
+class Context:
+    def __init__(self, system: ApiSystem, integrator: _Integrator,
+                 platform=None, seed: int = 0):
+        self.system = system
+        self.integrator = integrator
+        integrator._context = self
+        self._positions: Optional[jax.Array] = None
+        self._velocities: Optional[jax.Array] = None
+        self._key = jax.random.PRNGKey(seed)
+        self._grid_infos: Dict[int, _GridBindingInfo] = {}
+        self._iso_infos: Dict[int, tuple] = {}
+        self._stepper = None
+        self._stepper_steps = None
+        self._last_grid_results: Dict[int, object] = {}
+        self._initialize_forces()
+
+    # --- force resolution (the reference's kernel initialize() path) ----
+    def _initialize_forces(self):
+        n = self.system.getNumParticles()
+        top = self.system.topology
+        for idx, force in enumerate(self.system.getForces()):
+            if isinstance(force, GridForce):
+                self._grid_infos[idx] = self._resolve_grid_force(force, n,
+                                                                 top)
+                force._context = self
+            elif isinstance(force, IsolatedNonbondedForce):
+                table, particles = force._build()
+                self._iso_infos[idx] = (table,
+                                        jnp.asarray(particles,
+                                                    dtype=jnp.int32))
+
+    def _resolve_grid_force(self, force: GridForce, n_particles,
+                            top) -> _GridBindingInfo:
+        # auto scaling factors (reference
+        # ReferenceGridForceKernels.cpp:162-210; rmin convention of the
+        # CUDA/common platforms)
+        scaling = np.asarray(force.getScalingFactors(), dtype=np.float64)
+        if force.getAutoCalculateScalingFactors() and scaling.size == 0:
+            prop = force.getScalingProperty()
+            if not prop:
+                raise ValueError(
+                    "Auto-calculate scaling factors enabled but no scaling "
+                    "property specified")
+            scaling = np.asarray(auto_scaling_factors(
+                prop, top.charges, top.sigmas, top.epsilons))
+            force.setScalingFactors(scaling)
+
+        # auto grid generation (reference :212-278)
+        if force.getAutoGenerateGrid() and force.getNumGridValues() == 0:
+            gt = force.getGridType()
+            if gt not in ("charge", "ljr", "lja"):
+                raise ValueError(f"Invalid grid type '{gt}'")
+            counts, spacing, _, _ = force.getGridParameters()
+            if len(counts) != 3 or len(spacing) != 3:
+                raise ValueError("Grid counts and spacing must be set "
+                                 "before auto-generation")
+            rec = force.getReceptorAtoms()
+            lig = set(force.getLigandAtoms())
+            if not rec:
+                rec = [i for i in range(n_particles) if i not in lig]
+            rec_pos = force.getReceptorPositions()
+            if rec_pos.shape[0] == 0:
+                raise ValueError("Receptor positions must be set for "
+                                 "auto-grid generation")
+            if rec_pos.shape[0] < len(rec):
+                raise ValueError("Not enough receptor positions provided")
+            grid = generate_grid(
+                counts, spacing, force.getGridOrigin(), gt,
+                rec_pos[:len(rec)],
+                top.charges[rec], top.sigmas[rec], top.epsilons[rec],
+                compute_derivatives=force.getComputeDerivatives(),
+                grid_cap=force.getGridCap(),
+                inv_power=force.getInvPower(),
+                inv_power_mode=force.getInvPowerMode(),
+                interp_method=force.getInterpolationMethod(),
+                oob_k=force.getOutOfBoundsRestraint(),
+                dtype=jnp.float64)
+            force.setGridValues(np.asarray(grid.vals).reshape(-1))
+            if grid.derivs is not None:
+                force.setDerivatives(
+                    np.moveaxis(np.asarray(grid.derivs), -1, 0).reshape(-1))
+        else:
+            grid = force._build_grid()
+
+        # atom selection (priority mirrors CudaGridForceKernels.cpp:
+        # particle groups > particle filter > ligand atoms > all)
+        group_sizes: List[int] = []
+        if force.getNumParticleGroups() > 0:
+            atom_indices = []
+            scal = []
+            for gi in range(force.getNumParticleGroups()):
+                g = force.getParticleGroup(gi)
+                atom_indices.extend(g.particle_indices)
+                if g.scaling_factors:
+                    scal.extend(g.scaling_factors)
+                else:
+                    scal.extend(scaling[g.particle_indices])
+                group_sizes.append(len(g.particle_indices))
+            atom_indices = np.asarray(atom_indices, dtype=np.int32)
+            scal = np.asarray(scal, dtype=np.float64)
+        elif force.getParticles():
+            atom_indices = np.asarray(force.getParticles(), dtype=np.int32)
+            scal = scaling[atom_indices]
+        elif force.getLigandAtoms():
+            atom_indices = np.asarray(force.getLigandAtoms(),
+                                      dtype=np.int32)
+            # ligand-local scaling factors (reference semantics,
+            # ReferenceGridForceKernels.cpp:682-706)
+            scal = (scaling[:len(atom_indices)]
+                    if len(scaling) == len(atom_indices)
+                    else scaling[atom_indices])
+        else:
+            atom_indices = np.arange(min(len(scaling), n_particles),
+                                     dtype=np.int32)
+            scal = scaling[:len(atom_indices)]
+
+        return _GridBindingInfo(grid, atom_indices, scal, group_sizes)
+
+    def _rebind_force(self, force):
+        self._initialize_forces()
+        self._invalidate_stepper()
+
+    # --- evaluation ------------------------------------------------------
+    def _per_force_terms(self, positions):
+        """Returns dict force_index -> (energy, forces [N,3])."""
+        core = self.system._core
+        out = {}
+        for idx, force in enumerate(self.system.getForces()):
+            if isinstance(force, HarmonicBondForce):
+                e, g = jax.value_and_grad(
+                    lambda x: bond_energy(x, core.bond_idx, core.bond_k,
+                                          core.bond_r0))(positions)
+                out[idx] = (e, -g)
+            elif isinstance(force, HarmonicAngleForce):
+                e, g = jax.value_and_grad(
+                    lambda x: angle_energy(x, core.angle_idx, core.angle_k,
+                                           core.angle_t0))(positions)
+                out[idx] = (e, -g)
+            elif isinstance(force, PeriodicTorsionForce):
+                e, g = jax.value_and_grad(
+                    lambda x: torsion_energy(x, core.torsion_idx,
+                                             core.torsion_k,
+                                             core.torsion_per,
+                                             core.torsion_phase))(positions)
+                out[idx] = (e, -g)
+            elif isinstance(force, NonbondedForce):
+                e, f = pair_energy_forces(core.pairs, positions)
+                out[idx] = (e, f)
+            elif isinstance(force, GridForce):
+                info = self._grid_infos[idx]
+                res = evaluate_grid(info.grid,
+                                    positions[info.atom_indices],
+                                    info.scaling)
+                f = jnp.zeros_like(positions).at[info.atom_indices].add(
+                    res.forces)
+                out[idx] = (res.energy, f)
+            elif isinstance(force, IsolatedNonbondedForce):
+                table, particles = self._iso_infos[idx]
+                e, fp = pair_energy_forces(table, positions[particles])
+                f = jnp.zeros_like(positions).at[particles].add(fp)
+                out[idx] = (e, f)
+            else:
+                raise TypeError(f"unknown force type {type(force)}")
+        return out
+
+    def _group_mask_terms(self, positions, groups: Optional[set]):
+        terms = self._per_force_terms(positions)
+        energy = jnp.zeros((), dtype=positions.dtype)
+        forces = jnp.zeros_like(positions)
+        for idx, force in enumerate(self.system.getForces()):
+            if groups is not None and force.getForceGroup() not in groups:
+                continue
+            e, f = terms[idx]
+            energy = energy + e
+            forces = forces + f
+        return energy, forces
+
+    # --- public API --------------------------------------------------------
+    def setPositions(self, positions):
+        self._positions = jnp.asarray(np.asarray(positions,
+                                                 dtype=np.float64))
+        self._invalidate_stepper()
+
+    def getPositions(self):
+        return np.asarray(self._positions)
+
+    def setVelocities(self, velocities):
+        self._velocities = jnp.asarray(np.asarray(velocities,
+                                                  dtype=np.float64))
+
+    def setVelocitiesToTemperature(self, temperature, seed=None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, sub = jax.random.split(self._key)
+        masses = self.system._core.masses
+        sigma_v = jnp.sqrt(BOLTZ * temperature / masses)[:, None]
+        self._velocities = sigma_v * jax.random.normal(
+            sub, self._positions.shape, dtype=self._positions.dtype)
+
+    def getState(self, getPositions=False, getVelocities=False,
+                 getEnergy=False, getForces=False, groups=None, **_ignored):
+        st = State(
+            positions=(np.asarray(self._positions)
+                       if getPositions or True else None),
+            velocities=(np.asarray(self._velocities)
+                        if self._velocities is not None else None),
+        )
+        if getEnergy or getForces:
+            gset = set(groups) if groups is not None else None
+            e, f = self._group_mask_terms(self._positions, gset)
+            st._energy = float(e)
+            st._forces = np.asarray(f)
+            if self._velocities is not None:
+                m = self.system._core.masses[:, None]
+                st._kinetic = float(
+                    0.5 * jnp.sum(m * self._velocities ** 2))
+        return st
+
+    # --- stepping ----------------------------------------------------------
+    def _invalidate_stepper(self):
+        self._stepper = None
+
+    def _build_stepper(self, n_steps):
+        core = self.system._core
+
+        def force_fn(x):
+            return self._group_mask_terms(x, None)[1]
+
+        integ = self.integrator
+        if isinstance(integ, LangevinIntegrator):
+            step = make_langevin_step(force_fn, core.masses, integ.dt,
+                                      integ.friction, integ.temperature,
+                                      scheme=integ.scheme)
+        elif isinstance(integ, VerletIntegrator):
+            step = make_verlet_step(force_fn, core.masses, integ.dt)
+        else:
+            raise TypeError(f"unknown integrator {type(integ)}")
+
+        self._stepper = jax.jit(
+            lambda s: run_segment(step, s, n_steps))
+        self._stepper_steps = n_steps
+
+    def _step(self, n):
+        if self._positions is None:
+            raise RuntimeError("setPositions first")
+        if self._velocities is None:
+            self._velocities = jnp.zeros_like(self._positions)
+        if self._stepper is None or self._stepper_steps != n:
+            self._build_stepper(n)
+        self._key, sub = jax.random.split(self._key)
+        st = MDState(self._positions, self._velocities, sub)
+        st = self._stepper(st)
+        self._positions = st.positions
+        self._velocities = st.velocities
+
+    # --- group / atom energy queries (GridForce companions) ----------------
+    def _grid_group_energies(self, force: GridForce):
+        idx = self.system.getForces().index(force)
+        info = self._grid_infos[idx]
+        if not info.group_sizes:
+            return []
+        res = evaluate_grid(info.grid, self._positions[info.atom_indices],
+                            info.scaling)
+        out = []
+        off = 0
+        pa = np.asarray(res.per_atom_energy)
+        for size in info.group_sizes:
+            out.append(float(pa[off:off + size].sum()))
+            off += size
+        return out
+
+    def _grid_atom_energies(self, force: GridForce):
+        idx = self.system.getForces().index(force)
+        info = self._grid_infos[idx]
+        res = evaluate_grid(info.grid, self._positions[info.atom_indices],
+                            info.scaling)
+        return list(np.asarray(res.per_atom_energy))
+
+
+class Simulation:
+    """Minimal mirror of openmm.app.Simulation."""
+
+    def __init__(self, topology, system: ApiSystem, integrator,
+                 platform=None):
+        self.topology = topology
+        self.system = system
+        self.integrator = integrator
+        self.context = Context(system, integrator, platform)
+
+    def step(self, n):
+        self.integrator.step(n)
+
+    def minimizeEnergy(self, maxIterations=100, tolerance=10.0):
+        """Simple gradient descent with backtracking (placeholder for LBFGS)."""
+        x = self._ctx_positions()
+        ctx = self.context
+        e, f = ctx._group_mask_terms(x, None)
+        lr = 1e-5
+        for _ in range(maxIterations):
+            x_new = x + lr * f
+            e_new, f_new = ctx._group_mask_terms(x_new, None)
+            if float(e_new) < float(e):
+                x, e, f = x_new, e_new, f_new
+                lr *= 1.2
+            else:
+                lr *= 0.5
+                if lr < 1e-12:
+                    break
+        ctx._positions = x
+
+    def _ctx_positions(self):
+        return self.context._positions
+
+
+def clearGridCache():
+    """API-parity stub: the functional design has no hidden per-System
+    cache to clear (reference gridforceplugin.i:368-383)."""
+    return None

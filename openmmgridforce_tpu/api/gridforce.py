@@ -1,0 +1,403 @@
+"""Stateful ``GridForce`` builder mirroring the reference public API.
+
+This is a thin imperative shell over the functional core so that code
+written against the reference's SWIG module (reference
+python/gridforceplugin.i:1-384, openmmapi/include/GridForce.h:83-713)
+translates nearly 1:1. At Context creation the accumulated state is
+materialized into a frozen :class:`~openmmgridforce_tpu.grid.Grid` pytree
+plus atom/scaling bindings (the functional dataflow replacing the
+reference's mutate-during-initialize pattern, GridForceImpl.cpp:55-62).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..grid import Grid, InterpolationMethod, InvPowerMode
+from ..units import DEFAULT_GRID_CAP, DEFAULT_OOB_K
+
+# Flattened enum constants matching the SWIG wrapper
+# (gridforceplugin.i InvPowerMode_NONE/RUNTIME/STORED).
+InvPowerMode_NONE = int(InvPowerMode.NONE)
+InvPowerMode_RUNTIME = int(InvPowerMode.RUNTIME)
+InvPowerMode_STORED = int(InvPowerMode.STORED)
+
+
+@dataclasses.dataclass
+class ParticleGroup:
+    """Named multi-ligand particle group (reference GridForce.h:56-77)."""
+
+    name: str
+    particle_indices: List[int]
+    scaling_factors: List[float]
+
+
+class Force:
+    """Base: force-group bookkeeping (OpenMM::Force surface subset)."""
+
+    def __init__(self):
+        self._force_group = 0
+
+    def setForceGroup(self, group: int):
+        if not 0 <= group < 32:
+            raise ValueError("force group must be in [0, 31]")
+        self._force_group = int(group)
+
+    def getForceGroup(self) -> int:
+        return self._force_group
+
+
+class GridForce(Force):
+    def __init__(self):
+        super().__init__()
+        self._counts: List[int] = []
+        self._spacing: List[float] = []
+        self._origin = [0.0, 0.0, 0.0]
+        self._vals: List[float] = []
+        self._vals_array: Optional[np.ndarray] = None
+        self._derivatives: Optional[np.ndarray] = None
+        self._scaling_factors: List[float] = []
+        self._inv_power = 0.0
+        self._inv_power_mode = InvPowerMode.NONE
+        self._grid_cap = DEFAULT_GRID_CAP
+        self._oob_k = DEFAULT_OOB_K
+        self._interpolation_method = 0
+        self._auto_scaling = False
+        self._scaling_property = ""
+        self._auto_generate = False
+        self._grid_type = ""
+        self._compute_derivatives = False
+        self._particles: List[int] = []
+        self._particle_groups: List[ParticleGroup] = []
+        self._receptor_atoms: List[int] = []
+        self._ligand_atoms: List[int] = []
+        self._receptor_positions: Optional[np.ndarray] = None
+        self._tiled_mode = False
+        self._tile_size = 64
+        self._memory_budget_mb = 2048
+        self._tiled_output_file = ""
+        self._tiled_output_tile_size = 32
+        self._tiled_input_file = ""
+        # filled at Context creation
+        self._context = None
+
+    # --- grid geometry / data -----------------------------------------
+    def addGridCounts(self, nx, ny, nz):
+        self._counts = [int(nx), int(ny), int(nz)]
+
+    def addGridSpacing(self, dx, dy, dz):
+        self._spacing = [float(dx), float(dy), float(dz)]
+
+    def setGridOrigin(self, x, y, z):
+        self._origin = [float(x), float(y), float(z)]
+
+    def getGridOrigin(self):
+        return tuple(self._origin)
+
+    def addGridValue(self, val):
+        self._vals.append(float(val))
+        self._vals_array = None
+
+    def setGridValues(self, vals):
+        self._vals_array = np.asarray(vals, dtype=np.float64).reshape(-1)
+        self._vals = []
+
+    def getGridValues(self):
+        return list(self._values_flat())
+
+    def _values_flat(self) -> np.ndarray:
+        if self._vals_array is not None:
+            return self._vals_array
+        return np.asarray(self._vals, dtype=np.float64)
+
+    def getNumGridValues(self):
+        return len(self._values_flat())
+
+    def clearGridData(self):
+        # Documented no-op under the shared-data design
+        # (reference GridForce.cpp:429-434).
+        pass
+
+    # --- scaling factors ----------------------------------------------
+    def addScalingFactor(self, val):
+        self._scaling_factors.append(float(val))
+
+    def setScalingFactor(self, index, val):
+        self._scaling_factors[index] = float(val)
+
+    def setScalingFactors(self, vals):
+        self._scaling_factors = [float(v) for v in vals]
+
+    def getScalingFactors(self):
+        return list(self._scaling_factors)
+
+    def getNumScalingFactors(self):
+        return len(self._scaling_factors)
+
+    def setAutoCalculateScalingFactors(self, enable):
+        self._auto_scaling = bool(enable)
+
+    def getAutoCalculateScalingFactors(self):
+        return self._auto_scaling
+
+    def setScalingProperty(self, prop):
+        if prop not in ("charge", "ljr", "lja"):
+            raise ValueError(
+                f"Invalid scaling property '{prop}'. Must be 'charge', "
+                "'ljr', or 'lja'")
+        self._scaling_property = prop
+
+    def getScalingProperty(self):
+        return self._scaling_property
+
+    # --- transforms / caps ----------------------------------------------
+    def setInvPowerMode(self, mode, inv_power):
+        self._inv_power_mode = InvPowerMode(int(mode))
+        self._inv_power = float(inv_power)
+
+    def getInvPowerMode(self):
+        return int(self._inv_power_mode)
+
+    def getInvPower(self):
+        return self._inv_power
+
+    def applyInvPowerTransformation(self):
+        """Host-side RUNTIME transform of stored values G -> G^(1/n)
+        (reference GridForce.cpp:221-272)."""
+        if self._inv_power <= 0.0:
+            return
+        vals = self._values_flat()
+        sign = np.where(vals >= 0.0, 1.0, -1.0)
+        self.setGridValues(sign * np.abs(vals) ** (1.0 / self._inv_power))
+
+    def setGridCap(self, u_max):
+        self._grid_cap = float(u_max)
+
+    def getGridCap(self):
+        return self._grid_cap
+
+    def setOutOfBoundsRestraint(self, k):
+        self._oob_k = float(k)
+
+    def getOutOfBoundsRestraint(self):
+        return self._oob_k
+
+    def setInterpolationMethod(self, method):
+        if not 0 <= int(method) <= 3:
+            raise ValueError("interpolation method must be 0-3")
+        self._interpolation_method = int(method)
+
+    def getInterpolationMethod(self):
+        return self._interpolation_method
+
+    # --- auto generation -------------------------------------------------
+    def setAutoGenerateGrid(self, enable):
+        self._auto_generate = bool(enable)
+
+    def getAutoGenerateGrid(self):
+        return self._auto_generate
+
+    def setGridType(self, grid_type):
+        if grid_type not in ("charge", "ljr", "lja"):
+            raise ValueError(
+                f"Invalid grid type '{grid_type}'. Must be 'charge', "
+                "'ljr', or 'lja'")
+        self._grid_type = grid_type
+
+    def getGridType(self):
+        return self._grid_type
+
+    def setComputeDerivatives(self, compute):
+        self._compute_derivatives = bool(compute)
+
+    def getComputeDerivatives(self):
+        return self._compute_derivatives
+
+    def hasDerivatives(self):
+        return self._derivatives is not None
+
+    def getDerivatives(self):
+        return (np.zeros(0) if self._derivatives is None
+                else self._derivatives.reshape(-1))
+
+    def setDerivatives(self, derivs):
+        derivs = np.asarray(derivs, dtype=np.float64)
+        self._derivatives = derivs
+
+    # --- atom selections ---------------------------------------------
+    def setParticles(self, particles):
+        self._particles = [int(p) for p in particles]
+
+    def getParticles(self):
+        return list(self._particles)
+
+    def setReceptorAtoms(self, atoms):
+        self._receptor_atoms = [int(a) for a in atoms]
+
+    def getReceptorAtoms(self):
+        return list(self._receptor_atoms)
+
+    def setLigandAtoms(self, atoms):
+        self._ligand_atoms = [int(a) for a in atoms]
+
+    def getLigandAtoms(self):
+        return list(self._ligand_atoms)
+
+    def setReceptorPositions(self, positions):
+        self._receptor_positions = np.asarray(positions, dtype=np.float64)
+
+    def setReceptorPositionsFromLists(self, positions):
+        self.setReceptorPositions(positions)
+
+    def setReceptorPositionsFromArrays(self, x, y, z):
+        self._receptor_positions = np.stack(
+            [np.asarray(x), np.asarray(y), np.asarray(z)], axis=-1)
+
+    def getReceptorPositions(self):
+        return (np.zeros((0, 3)) if self._receptor_positions is None
+                else self._receptor_positions)
+
+    # --- particle groups -----------------------------------------------
+    def addParticleGroup(self, name, particle_indices, scaling_factors=None):
+        for g in self._particle_groups:
+            if g.name == name:
+                raise ValueError(f"Particle group '{name}' already exists")
+        self._particle_groups.append(ParticleGroup(
+            name=name,
+            particle_indices=[int(i) for i in particle_indices],
+            scaling_factors=[float(s) for s in (scaling_factors or [])],
+        ))
+        return len(self._particle_groups) - 1
+
+    def getNumParticleGroups(self):
+        return len(self._particle_groups)
+
+    def getParticleGroup(self, index):
+        return self._particle_groups[index]
+
+    def getParticleGroupByName(self, name):
+        for g in self._particle_groups:
+            if g.name == name:
+                return g
+        return None
+
+    def removeParticleGroup(self, index):
+        del self._particle_groups[index]
+
+    def clearParticleGroups(self):
+        self._particle_groups = []
+
+    def getParticleGroupEnergies(self, context=None):
+        ctx = context or self._context
+        if ctx is None:
+            return []
+        return ctx._grid_group_energies(self)
+
+    def getParticleAtomEnergies(self, context=None):
+        ctx = context or self._context
+        if ctx is None:
+            return []
+        return ctx._grid_atom_energies(self)
+
+    # --- tiled mode -----------------------------------------------------
+    def setTiledMode(self, enable, tile_size=64, memory_budget_mb=2048):
+        self._tiled_mode = bool(enable)
+        self._tile_size = int(tile_size)
+        self._memory_budget_mb = int(memory_budget_mb)
+
+    def getTiledMode(self):
+        return self._tiled_mode
+
+    def getTileSize(self):
+        return self._tile_size
+
+    def getMemoryBudgetMB(self):
+        return self._memory_budget_mb
+
+    def setTiledOutputFile(self, filename, tile_size=32):
+        self._tiled_output_file = filename
+        self._tiled_output_tile_size = int(tile_size)
+
+    def getTiledOutputFile(self):
+        return self._tiled_output_file
+
+    def getTiledOutputTileSize(self):
+        return self._tiled_output_tile_size
+
+    def setTiledInputFile(self, filename):
+        self._tiled_input_file = filename
+
+    def getTiledInputFile(self):
+        return self._tiled_input_file
+
+    # --- file I/O ------------------------------------------------------
+    def loadFromFile(self, filename):
+        from ..io import load_v3
+
+        data = load_v3(filename)
+        self._counts = list(data.counts)
+        self._spacing = list(data.spacing)
+        self._origin = list(data.origin)
+        self.setGridValues(data.vals.reshape(-1))
+        self._derivatives = data.derivs
+        self._inv_power = data.inv_power
+        self._inv_power_mode = InvPowerMode(data.inv_power_mode)
+        if data.grid_type:
+            self._grid_type = data.grid_type
+
+    def saveToFile(self, filename):
+        from ..io import save_v3
+
+        if len(self._counts) != 3 or len(self._spacing) != 3:
+            raise ValueError("Grid dimensions must be set before saving")
+        vals = self._values_flat()
+        expected = int(np.prod(self._counts))
+        if len(vals) != expected:
+            raise ValueError(
+                "Number of grid values doesn't match dimensions")
+        derivs = None
+        if self._derivatives is not None and self._derivatives.size:
+            derivs = self._derivatives.reshape((27,) + tuple(self._counts))
+        save_v3(filename, self._counts, self._spacing, self._origin,
+                vals.reshape(tuple(self._counts)), derivs=derivs,
+                grid_type=self._grid_type, inv_power=self._inv_power,
+                inv_power_mode=int(self._inv_power_mode))
+
+    # --- introspection ---------------------------------------------------
+    def getGridParameters(self):
+        """Returns (counts, spacing, vals, scaling_factors)."""
+        return (list(self._counts), list(self._spacing),
+                list(self._values_flat()), list(self._scaling_factors))
+
+    def updateParametersInContext(self, context):
+        context._rebind_force(self)
+
+    # --- materialization (called by Context) ------------------------------
+    def _build_grid(self, dtype=np.float64) -> Grid:
+        if len(self._counts) != 3 or len(self._spacing) != 3:
+            raise ValueError("Grid counts and spacing must be set")
+        vals = self._values_flat()
+        counts = tuple(self._counts)
+        derivs = None
+        if self._derivatives is not None and self._derivatives.size:
+            derivs = self._derivatives.reshape((27,) + counts)
+        return Grid.create(
+            vals.reshape(counts), self._spacing, self._origin,
+            derivs=derivs,
+            interp_method=InterpolationMethod(self._interpolation_method),
+            inv_power_mode=self._inv_power_mode,
+            inv_power=self._inv_power,
+            grid_cap=self._grid_cap,
+            oob_k=self._oob_k,
+            grid_type=self._grid_type,
+            dtype=dtype,
+        )
+
+
+def castToGridForce(force):
+    """Downcast helper mirroring the SWIG utility
+    (gridforceplugin.i:344-360)."""
+    return force if isinstance(force, GridForce) else None

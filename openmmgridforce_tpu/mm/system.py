@@ -17,6 +17,7 @@ import numpy as np
 
 from ..grid import Grid
 from ..ops.interpolate import evaluate_grid
+from ..ops.packed import PackedGrid, evaluate_packed
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
 from .forcefield import bonded_energy
@@ -110,10 +111,19 @@ def system_from_amber(top: AmberTopology, dtype=jnp.float64,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridBinding:
-    """A grid plus the per-atom scaling factors that couple atoms to it."""
+    """A grid plus the per-atom scaling factors that couple atoms to it.
 
-    grid: Grid
-    scaling: jax.Array  # [N]
+    ``grid`` may be a Grid (reference-layout, gather-per-stencil) or a
+    PackedGrid (per-cell polynomial coefficients — the TPU fast path)."""
+
+    grid: object          # Grid | PackedGrid
+    scaling: jax.Array    # [N]
+
+
+def _eval_grid(grid, positions, scaling):
+    if isinstance(grid, PackedGrid):
+        return evaluate_packed(grid, positions, scaling)
+    return evaluate_grid(grid, positions, scaling)
 
 
 def potential_energy(system: System, grids: Sequence[GridBinding],
@@ -123,8 +133,40 @@ def potential_energy(system: System, grids: Sequence[GridBinding],
     if system.pairs is not None:
         e = e + pair_energy_forces(system.pairs, positions)[0]
     for gb in grids:
-        e = e + evaluate_grid(gb.grid, positions, gb.scaling).energy
+        e = e + _eval_grid(gb.grid, positions, gb.scaling).energy
     return e
+
+
+def make_md_runner(n_steps: int, dt: float, friction: float,
+                   scheme: str = "classic", batched: bool = True):
+    """Build a jitted MD segment runner with all large state as ARGUMENTS.
+
+    Returns run(states, system, grids, temperatures) -> states. Passing the
+    System/GridBinding pytrees as arguments (rather than closing over them)
+    keeps grid arrays out of the compiled program's constant pool — critical
+    for multi-hundred-MB packed grids, and required on backends that ship
+    HLO to a remote compiler.
+
+    ``temperatures``: scalar, or [R] array when ``batched`` for per-replica
+    thermostats (replica-exchange ladders).
+    """
+    from .integrators import make_langevin_step, run_segment
+
+    def run(states, system, grids, temperatures):
+        def one(state, t):
+            def force_fn(x):
+                return energy_and_forces(system, grids, x)[1]
+            step = make_langevin_step(force_fn, system.masses, dt,
+                                      friction, t, scheme=scheme)
+            return run_segment(step, state, n_steps)
+
+        if batched:
+            t = jnp.broadcast_to(jnp.asarray(temperatures),
+                                 (states.positions.shape[0],))
+            return jax.vmap(one)(states, t)
+        return one(states, jnp.asarray(temperatures))
+
+    return jax.jit(run)
 
 
 def energy_and_forces(system: System, grids: Sequence[GridBinding],
@@ -145,7 +187,7 @@ def energy_and_forces(system: System, grids: Sequence[GridBinding],
     energy = e_smooth
     forces = -g
     for gb in grids:
-        res = evaluate_grid(gb.grid, positions, gb.scaling)
+        res = _eval_grid(gb.grid, positions, gb.scaling)
         energy = energy + res.energy
         forces = forces + res.forces
     return energy, forces

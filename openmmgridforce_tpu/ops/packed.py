@@ -1,0 +1,296 @@
+"""Packed per-cell polynomial grids: the TPU fast path for interpolation.
+
+Every interpolation method this engine supports (trilinear, cubic B-spline,
+tricubic Hermite, triquintic Hermite) evaluates, inside any given cell, a
+fixed tensor-product polynomial of the cell fraction: P(s) = sum
+c_pqr sx^p sy^q sz^r. The stencil -> polynomial map does not depend on the
+atom position, so the coefficients can be precomputed ONCE per cell.
+
+Evaluation then needs exactly ONE coalesced row gather (K contiguous floats)
+plus ~4K fused multiply-adds per atom — instead of 8-64 scattered scalar
+gathers. On TPU, where XLA gathers cost per *instruction* rather than per
+byte, this is the difference between ~20 ms and ~0.1 ms per force
+evaluation at 47k atoms (measured on v5e). It is also exactly the dataflow
+the MXU/VPU want: dense rows in, FMA out, no branches.
+
+This replaces the reference's in-kernel 64x64 / 216x216 coefficient
+matrix products per atom (gridForce.cu:204-294) with a one-time
+whole-grid separable contraction, and subsumes its RUNTIME inverse-power
+stencil transforms (folded into packing; the post-interpolation
+back-transform keeps runtime semantics identical).
+
+Semantics match ops/interpolate.py exactly (same clamping, OOB restraint,
+inv-power back-transform); parity is enforced in tests/test_packed.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid, InterpolationMethod, InvPowerMode
+from . import basis
+from .chain_rules import apply_invpower, invpower_value
+from .interpolate import GridEval
+
+
+# ----------------------------------------------------------------------
+# Basis -> monomial coefficient matrices (computed numerically from the
+# basis functions themselves; exact for these low degrees in float64)
+# ----------------------------------------------------------------------
+
+def _poly_coeffs_from_fn(fn, n_outputs_shape, degree):
+    """Fit exact monomial coefficients of polynomial basis functions by
+    solving a Vandermonde system at degree+1 nodes."""
+    t = np.linspace(0.0, 1.0, degree + 1)
+    V = np.vander(t, degree + 1, increasing=True)  # [nodes, powers]
+    vals = np.asarray(jax.vmap(fn)(jnp.asarray(t)))  # [nodes, *basis_shape]
+    flat = vals.reshape(degree + 1, -1)
+    coeffs = np.linalg.solve(V, flat)              # [powers, nbasis]
+    return coeffs.reshape((degree + 1,) + n_outputs_shape)
+
+
+@lru_cache(maxsize=None)
+def _value_axis_matrix(method: int) -> np.ndarray:
+    """C[p, a]: monomial coefficients of the per-axis stencil weight for
+    offset a (value-based methods)."""
+    if method == InterpolationMethod.TRILINEAR:
+        return np.array([[1.0, 0.0], [-1.0, 1.0]])  # 1-t, t
+    if method == InterpolationMethod.BSPLINE:
+        return _poly_coeffs_from_fn(basis.bspline_weights, (4,), 3)
+    raise ValueError(method)
+
+
+@lru_cache(maxsize=None)
+def _hermite_axis_matrix(method: int) -> np.ndarray:
+    """H[p, m, s]: monomial coefficients of the Hermite basis H_{m,s}."""
+    if method == InterpolationMethod.TRICUBIC:
+        return _poly_coeffs_from_fn(basis.hermite3_weights, (2, 2), 3)
+    if method == InterpolationMethod.TRIQUINTIC:
+        return _poly_coeffs_from_fn(basis.hermite5_weights, (3, 2), 5)
+    raise ValueError(method)
+
+
+# Map the canonical 27-slot order to [mx, my, mz] tensor layout.
+from .derivatives27 import DERIV_ORDERS  # noqa: E402
+
+_D27_TO_M3 = np.zeros((3, 3, 3), dtype=np.int64)
+for _i, (_a, _b, _c) in enumerate(DERIV_ORDERS):
+    _D27_TO_M3[_a, _b, _c] = _i
+
+
+# ----------------------------------------------------------------------
+# Packed grid pytree
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedGrid:
+    """Per-cell monomial coefficients plus evaluation config."""
+
+    coeffs: jax.Array            # [ncells, K], K = degree^3
+    spacing: jax.Array           # [3]
+    origin: jax.Array            # [3]
+    counts: tuple = dataclasses.field(default=(0, 0, 0),
+                                      metadata=dict(static=True))
+    degree: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # inverse-power back-transform exponent (0 = disabled); RUNTIME stencil
+    # transforms are folded into the coefficients at pack time
+    back_power: float = dataclasses.field(default=0.0,
+                                          metadata=dict(static=True))
+    oob_k: float = dataclasses.field(default=0.0,
+                                     metadata=dict(static=True))
+
+    @property
+    def cell_counts(self):
+        nx, ny, nz = self.counts
+        return (nx - 1, ny - 1, nz - 1)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
+                                   "counts"))
+def _pack_values(vals, method, runtime_inv, inv_power, counts):
+    nx, ny, nz = counts
+    ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+    C = jnp.asarray(_value_axis_matrix(method), dtype=vals.dtype)
+    P = vals
+    if runtime_inv:
+        # fold the stencil transform (gridForce.cu:127-134) into packing
+        P = invpower_value(P, 1.0 / inv_power)
+    if method == InterpolationMethod.BSPLINE:
+        # stencil offsets -1..+2 with index clamping == edge padding
+        P = jnp.pad(P, ((1, 2), (1, 2), (1, 2)), mode="edge")
+
+    def contract(x, axis, ncells_axis):
+        A = C.shape[1]
+        S = jnp.stack([jax.lax.slice_in_dim(x, a, a + ncells_axis,
+                                            axis=axis)
+                       for a in range(A)], axis=0)
+        return jnp.einsum("pa,a...->p...", C, S)
+
+    T = contract(P, 0, ncx)          # [px, i, y, z]
+    T = contract(T, 2, ncy)          # [py, px, i, j, z]
+    T = contract(T, 4, ncz)          # [pz, py, px, i, j, k]
+    coeffs = jnp.transpose(T, (3, 4, 5, 2, 1, 0))  # [i,j,k,px,py,pz]
+    K = C.shape[0] ** 3
+    return coeffs.reshape(ncx * ncy * ncz, K)
+
+
+@partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
+                                   "counts"))
+def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
+    nx, ny, nz = counts
+    ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+    H = jnp.asarray(_hermite_axis_matrix(method), dtype=derivs.dtype)
+    m = H.shape[1]  # 2 (tricubic) or 3 (triquintic)
+    D27 = derivs
+    if runtime_inv:
+        D27 = apply_invpower(D27, 1.0 / inv_power)
+    # reindex [.., 27] -> [.., mx, my, mz], restricted to orders < m
+    sel = _D27_TO_M3[:m, :m, :m].reshape(-1)
+    D = D27[..., sel].reshape(nx, ny, nz, m, m, m)
+
+    Sx = jnp.stack([D[0:ncx], D[1:ncx + 1]], axis=0)
+    T = jnp.einsum("pms,sijkmno->pijkno", H, Sx)
+    Sy = jnp.stack([T[:, :, 0:ncy], T[:, :, 1:ncy + 1]], axis=0)
+    T = jnp.einsum("qns,spijkno->qpijko", H, Sy)
+    Sz = jnp.stack([T[:, :, :, :, 0:ncz], T[:, :, :, :, 1:ncz + 1]], axis=0)
+    T = jnp.einsum("ros,sqpijko->rqpijk", H, Sz)
+    coeffs = jnp.transpose(T, (3, 4, 5, 2, 1, 0))  # [i,j,k,px,py,pz]
+    K = H.shape[0] ** 3
+    return coeffs.reshape(ncx * ncy * ncz, K)
+
+
+def pack_grid(grid: Grid, dtype=None) -> PackedGrid:
+    """Precompute per-cell polynomial coefficients for a Grid.
+
+    The whole-grid contraction runs as a single jitted program (one
+    compile, arrays as arguments — never baked into the HLO as constants,
+    which matters on backends with remote compilation).
+    """
+    dtype = dtype or grid.vals.dtype
+    method = grid.interp_method
+    nx, ny, nz = grid.counts
+    ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+
+    back_power = 0.0
+    if grid.inv_power_mode in (InvPowerMode.RUNTIME, InvPowerMode.STORED) \
+            and grid.inv_power != 0.0:
+        back_power = grid.inv_power
+    runtime_inv = (grid.inv_power_mode == InvPowerMode.RUNTIME
+                   and grid.inv_power != 0.0)
+
+    if method in (InterpolationMethod.TRILINEAR,
+                  InterpolationMethod.BSPLINE):
+        # warm the basis-matrix cache OUTSIDE the jit trace (the
+        # Vandermonde fit runs eager jax and must not see tracers)
+        _value_axis_matrix(int(method))
+        coeffs = _pack_values(jnp.asarray(grid.vals, dtype=dtype),
+                              method=int(method), runtime_inv=runtime_inv,
+                              inv_power=grid.inv_power, counts=grid.counts)
+        degree = 2 if method == InterpolationMethod.TRILINEAR else 4
+    elif method in (InterpolationMethod.TRICUBIC,
+                    InterpolationMethod.TRIQUINTIC):
+        if grid.derivs is None:
+            raise ValueError("Hermite methods need precomputed derivatives")
+        _hermite_axis_matrix(int(method))  # warm cache outside the trace
+        coeffs = _pack_derivs(jnp.asarray(grid.derivs, dtype=dtype),
+                              method=int(method), runtime_inv=runtime_inv,
+                              inv_power=grid.inv_power, counts=grid.counts)
+        degree = 4 if method == InterpolationMethod.TRICUBIC else 6
+    else:
+        raise ValueError(f"unknown interpolation method {method}")
+
+    return PackedGrid(
+        coeffs=coeffs,
+        spacing=jnp.asarray(grid.spacing, dtype=dtype),
+        origin=jnp.asarray(grid.origin, dtype=dtype),
+        counts=grid.counts,
+        degree=degree,
+        back_power=back_power,
+        oob_k=grid.oob_k,
+    )
+
+
+# ----------------------------------------------------------------------
+# Evaluation
+# ----------------------------------------------------------------------
+
+def evaluate_packed(packed: PackedGrid, positions,
+                    scaling_factors) -> GridEval:
+    """Energy/forces via the packed representation.
+
+    Numerically equivalent to ops.interpolate.evaluate_grid (same clamping,
+    restraint and back-transform semantics), with one row gather per atom.
+    """
+    dtype = packed.coeffs.dtype
+    positions = jnp.asarray(positions, dtype=dtype)
+    scaling = jnp.asarray(scaling_factors, dtype=dtype)
+
+    pos = positions - packed.origin
+    counts = jnp.asarray(packed.counts, dtype=dtype)
+    corner = packed.spacing * (counts - 1.0)
+    inside = jnp.all((pos >= 0.0) & (pos <= corner), axis=-1)
+
+    icounts = jnp.asarray(packed.counts)
+    t = pos / packed.spacing
+    ixyz = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, icounts - 2)
+    f = jnp.clip(t - ixyz, 0.0, 1.0)
+
+    ncx, ncy, ncz = packed.cell_counts
+    cell = (ixyz[..., 0] * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
+    rows = jnp.take(packed.coeffs, cell, axis=0)      # [N, K]
+
+    d = packed.degree
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def powers(v):
+        return jnp.stack([v ** p for p in range(d)], axis=-1)   # [N, d]
+
+    def dpowers(v):
+        cols = [jnp.zeros_like(v)] + [p * v ** (p - 1)
+                                      for p in range(1, d)]
+        return jnp.stack(cols, axis=-1)
+
+    px, py, pz = powers(fx), powers(fy), powers(fz)
+    dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+
+    R = rows.reshape(rows.shape[:-1] + (d, d, d))
+    interp = jnp.einsum("...pqr,...p,...q,...r->...", R, px, py, pz)
+    gx = jnp.einsum("...pqr,...p,...q,...r->...", R, dpx, py, pz)
+    gy = jnp.einsum("...pqr,...p,...q,...r->...", R, px, dpy, pz)
+    gz = jnp.einsum("...pqr,...p,...q,...r->...", R, px, py, dpz)
+    grad_s = jnp.stack([gx, gy, gz], axis=-1)
+
+    if packed.back_power != 0.0:
+        n = packed.back_power
+        sign = jnp.where(interp >= 0.0, 1.0, -1.0)
+        a = jnp.abs(interp)
+        active = a > 1e-10
+        a_safe = jnp.where(active, a, 1.0)
+        pf = n * a_safe ** (n - 1.0)
+        interp = jnp.where(active, sign * a_safe ** n, interp)
+        grad_s = jnp.where(active[..., None], grad_s * pf[..., None],
+                           grad_s)
+
+    grad_phys = grad_s / packed.spacing
+    energy_in = scaling * interp
+    force_in = -scaling[..., None] * grad_phys
+
+    dev = jnp.where(pos < 0.0, pos,
+                    jnp.where(pos > corner, pos - corner, 0.0))
+    energy_oob = 0.5 * packed.oob_k * jnp.sum(dev * dev, axis=-1)
+    force_oob = -packed.oob_k * dev
+
+    active = inside & (scaling != 0.0)
+    per_atom = jnp.where(active, energy_in, energy_oob)
+    forces = jnp.where(active[..., None], force_in, force_oob)
+    return GridEval(jnp.sum(per_atom), forces, per_atom)

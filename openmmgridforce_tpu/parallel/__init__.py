@@ -1,0 +1,2 @@
+from .replicas import (init_replica_states, make_ensemble_runner,  # noqa: F401
+                       replica_mesh, shard_replica_states)

@@ -1,0 +1,221 @@
+"""BPMF sampler: temperature replica exchange + genetic Monte Carlo.
+
+TPU-native redesign of the reference workflow (example/sampler.py:63-427):
+where the reference ran N separate OpenMM Simulations serially on the CPU
+Reference platform, here the whole temperature ladder is ONE batched MDState
+advanced by a single jitted vmapped Langevin segment (per-replica
+temperatures enter the thermostat as a vmapped argument), and replica
+energies for the Monte Carlo steps come from one batched force evaluation.
+
+Monte Carlo moves match the reference's semantics:
+  * replica_exchange_temperature: random pair (i, j), Metropolis on
+    log_ratio = (beta_i - beta_j)(E_i - E_j), swap positions on acceptance
+    (sampler.py:186-226).
+  * genetic_MC_mutation: pick (low, high) replica pair, copy ONE torsion
+    from the high-T replica into the low-T one (in BAT space), Metropolis
+    on -beta_low * (E_new - E_low) (sampler.py:243-327).
+  * genetic_MC_crossover: splice the torsion tail [icut:] of the high-T
+    replica into the low-T one, same acceptance (sampler.py:329-427).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mm.integrators import MDState, make_langevin_step, run_segment
+from ..mm.system import GridBinding, System, energy_and_forces
+from ..units import BOLTZ
+from . import bat
+
+
+@dataclasses.dataclass
+class SamplerConfig:
+    """Mirrors the reference's input.json knobs (example/input.json)."""
+
+    n_states: int = 21
+    t_high: float = 600.0
+    t_min: float = 300.0
+    dt: float = 0.002            # ps
+    friction: float = 1.0        # 1/ps
+    md_steps_per_trial: int = 100
+    hydrogen_mass: Optional[float] = 4.0
+    seed: int = 0
+
+
+def temperature_ladder(t_min, t_high, n_states):
+    """Geometric temperature ladder (equal beta-ratio spacing)."""
+    return t_min * (t_high / t_min) ** (np.arange(n_states)
+                                        / max(n_states - 1, 1))
+
+
+class Sampler:
+    """Replica ensemble with on-device MD and host-side MC bookkeeping."""
+
+    def __init__(self, system: System, grids: Sequence[GridBinding],
+                 positions, config: SamplerConfig,
+                 bonds=None):
+        self.system = system
+        self.grids = list(grids)
+        self.config = config
+        self.temperatures = temperature_ladder(config.t_min, config.t_high,
+                                               config.n_states)
+        self.betas = 1.0 / (BOLTZ * self.temperatures)
+        self._key = jax.random.PRNGKey(config.seed)
+        self._rng = np.random.default_rng(config.seed + 1)
+
+        x0 = jnp.asarray(positions)
+        n = config.n_states
+        keys = jax.random.split(self._next_key(), n)
+        self.states = MDState(
+            positions=jnp.broadcast_to(x0, (n,) + x0.shape),
+            velocities=jnp.zeros((n,) + x0.shape, x0.dtype),
+            key=keys)
+
+        # BAT machinery for genetic MC
+        self._zmatrix = None
+        self._primary = None
+        if bonds is not None:
+            self._zmatrix, self._primary = bat.build_zmatrix(
+                np.asarray(system.masses), bonds)
+
+        # jitted batched kernels
+        def force_fn(x):
+            return energy_and_forces(system, self.grids, x)[1]
+
+        temps = jnp.asarray(self.temperatures, x0.dtype)
+
+        def segment(states: MDState, n_steps: int) -> MDState:
+            def one(state, t):
+                step = make_langevin_step(force_fn, system.masses,
+                                          config.dt, config.friction, t)
+                # fresh velocities at the replica temperature each trial
+                # (reference MD_with_step, sampler.py:153-164)
+                key, sub = jax.random.split(state.key)
+                sigma_v = jnp.sqrt(BOLTZ * t / system.masses)[:, None]
+                v = sigma_v * jax.random.normal(
+                    sub, state.positions.shape, state.positions.dtype)
+                st = MDState(state.positions, v, key)
+                return run_segment(step, st, n_steps)
+
+            return jax.vmap(one)(states, temps)
+
+        self._segment = jax.jit(segment, static_argnums=1)
+
+        def batched_energy(positions):
+            return jax.vmap(
+                lambda x: energy_and_forces(system, self.grids, x)[0]
+            )(positions)
+
+        self._energies = jax.jit(batched_energy)
+
+        def single_energy(x):
+            return energy_and_forces(system, self.grids, x)[0]
+
+        self._energy1 = jax.jit(single_energy)
+
+        # MC statistics
+        self.n_exchange_accepted = 0
+        self.n_exchange_attempted = 0
+        self.n_gmc_accepted = 0
+        self.n_gmc_attempted = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def run_md(self, n_steps: Optional[int] = None):
+        """Advance every replica by n_steps of Langevin MD (one dispatch)."""
+        n = n_steps or self.config.md_steps_per_trial
+        self.states = self._segment(self.states, int(n))
+
+    def potential_energies(self) -> np.ndarray:
+        return np.asarray(self._energies(self.states.positions))
+
+    # ------------------------------------------------------------------
+    def replica_exchange(self) -> int:
+        """One temperature-exchange attempt (reference selection rule)."""
+        n = self.config.n_states
+        isel, jsel = self._rng.integers(n, size=2)
+        if isel == jsel:
+            jsel = isel + 1 if isel + 1 < n else isel - 1
+
+        energies = self.potential_energies()
+        log_ratio = (self.betas[isel] - self.betas[jsel]) * (
+            energies[isel] - energies[jsel])
+
+        self.n_exchange_attempted += 1
+        accept = (log_ratio >= 0
+                  or self._rng.random() < np.exp(log_ratio))
+        if accept:
+            self.n_exchange_accepted += 1
+            pos = np.array(self.states.positions)
+            pos[[isel, jsel]] = pos[[jsel, isel]]
+            self.states = self.states._replace(
+                positions=jnp.asarray(pos))
+        return int(accept)
+
+    # ------------------------------------------------------------------
+    def _pick_low_high(self):
+        n = self.config.n_states
+        isel, jsel = self._rng.integers(n, size=2)
+        if isel == jsel:
+            jsel = isel + 1 if isel + 1 < n else isel - 1
+        return (isel, jsel) if isel < jsel else (jsel, isel)
+
+    def _genetic_trial(self, splice: bool) -> int:
+        if self._zmatrix is None:
+            raise RuntimeError("genetic MC needs bonds= at construction")
+        isel, jsel = self._pick_low_high()
+        pos = np.array(self.states.positions)
+        energies = self.potential_energies()
+
+        bat_i = bat.xyz_to_bat(pos[isel], self._zmatrix, self._primary)
+        bat_j = bat.xyz_to_bat(pos[jsel], self._zmatrix, self._primary)
+        n_t = len(self._zmatrix)
+        off = 9 + 2 * n_t
+        icut = int(self._rng.integers(n_t))
+        if splice:
+            bat_i[off + icut:] = bat_j[off + icut:]
+        else:
+            bat_i[off + icut] = bat_j[off + icut]
+        new_xyz = bat.bat_to_xyz(bat_i, self._zmatrix, self._primary)
+
+        e_new = float(self._energy1(jnp.asarray(new_xyz, pos.dtype)))
+        log_ratio = -self.betas[isel] * (e_new - energies[isel])
+
+        self.n_gmc_attempted += 1
+        accept = (0 <= log_ratio < (30 if splice else 50)
+                  or (log_ratio < 0
+                      and self._rng.random() < np.exp(log_ratio)))
+        if accept:
+            self.n_gmc_accepted += 1
+            pos[isel] = new_xyz
+            self.states = self.states._replace(positions=jnp.asarray(pos))
+        return int(accept)
+
+    def genetic_mutation(self) -> int:
+        return self._genetic_trial(splice=False)
+
+    def genetic_crossover(self) -> int:
+        return self._genetic_trial(splice=True)
+
+    # ------------------------------------------------------------------
+    def run(self, n_trials: int, n_exchange_per_trial: int = 5,
+            n_gmc_per_trial: int = 0, md_steps: Optional[int] = None,
+            callback=None):
+        """Production loop mirroring sampler.py:554-593."""
+        for trial in range(n_trials):
+            for _ in range(n_exchange_per_trial):
+                self.replica_exchange()
+            for _ in range(n_gmc_per_trial):
+                self.genetic_crossover()
+                self.genetic_mutation()
+            self.run_md(md_steps)
+            if callback is not None:
+                callback(trial, self)

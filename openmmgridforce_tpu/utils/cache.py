@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache.
+
+On TPU backends that compile remotely (the axon tunnel used in this
+environment), a cold jit compile of an MD scan costs minutes; the
+persistent cache brings repeat compiles across processes down to seconds
+(measured 258s -> 1.9s). Enabled by default at package import; opt out
+with OMGF_NO_COMPILE_CACHE=1 or redirect with OMGF_COMPILE_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    global _enabled
+    if _enabled or os.environ.get("OMGF_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = (path
+            or os.environ.get("OMGF_COMPILE_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache",
+                            "openmmgridforce_tpu", "jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enabled = True

@@ -1,0 +1,92 @@
+"""PackedGrid (per-cell polynomial coefficients) parity with the
+reference-layout evaluation, for all methods and inv-power modes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openmmgridforce_tpu import Grid, InterpolationMethod, InvPowerMode
+from openmmgridforce_tpu.ops import evaluate_grid
+from openmmgridforce_tpu.ops.packed import evaluate_packed, pack_grid
+
+RNG = np.random.default_rng(31)
+COUNTS = (6, 7, 8)
+SPACING = (0.11, 0.09, 0.13)
+ORIGIN = (0.5, -0.2, 0.3)
+
+
+def positions_everywhere(n=60):
+    """Positions covering interior, cell edges, grid faces and outside."""
+    lo = np.asarray(ORIGIN)
+    hi = lo + (np.asarray(COUNTS) - 1) * np.asarray(SPACING)
+    pts = [RNG.uniform(lo - 0.1, hi + 0.1, size=(n, 3))]
+    # exactly on nodes and faces
+    pts.append(lo + np.array([[0, 0, 0], [1, 2, 3], [4, 5, 6]])
+               * np.asarray(SPACING))
+    pts.append(np.array([hi, lo, [hi[0], lo[1], hi[2]]]))
+    return np.concatenate(pts)
+
+
+@pytest.mark.parametrize("method,needs_derivs,mode,n", [
+    (InterpolationMethod.TRILINEAR, False, InvPowerMode.NONE, 0.0),
+    (InterpolationMethod.TRILINEAR, False, InvPowerMode.STORED, 2.0),
+    (InterpolationMethod.TRILINEAR, False, InvPowerMode.RUNTIME, 2.0),
+    (InterpolationMethod.BSPLINE, False, InvPowerMode.NONE, 0.0),
+    (InterpolationMethod.BSPLINE, False, InvPowerMode.STORED, 3.0),
+    (InterpolationMethod.BSPLINE, False, InvPowerMode.RUNTIME, 2.0),
+    (InterpolationMethod.TRICUBIC, True, InvPowerMode.NONE, 0.0),
+    (InterpolationMethod.TRICUBIC, True, InvPowerMode.RUNTIME, 2.0),
+    (InterpolationMethod.TRIQUINTIC, True, InvPowerMode.NONE, 0.0),
+    (InterpolationMethod.TRIQUINTIC, True, InvPowerMode.STORED, 2.0),
+])
+def test_packed_matches_reference_layout(method, needs_derivs, mode, n):
+    vals = np.abs(RNG.standard_normal(COUNTS)) + 0.5  # positive (inv-power)
+    derivs = RNG.standard_normal(COUNTS + (27,)) if needs_derivs else None
+    if needs_derivs:
+        derivs[..., 0] = vals
+    grid = Grid.create(vals, SPACING, ORIGIN, derivs=derivs,
+                       interp_method=method, inv_power_mode=mode,
+                       inv_power=n, oob_k=777.0, dtype=np.float64)
+    packed = pack_grid(grid)
+
+    pos = positions_everywhere()
+    scaling = RNG.standard_normal(len(pos))
+    scaling[3] = 0.0  # exercise the inert-atom branch
+
+    ref = evaluate_grid(grid, pos, scaling)
+    got = evaluate_packed(packed, pos, scaling)
+
+    np.testing.assert_allclose(np.asarray(got.per_atom_energy),
+                               np.asarray(ref.per_atom_energy),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.forces),
+                               np.asarray(ref.forces),
+                               rtol=1e-8, atol=1e-8)
+    assert float(got.energy) == pytest.approx(float(ref.energy), rel=1e-9)
+
+
+def test_packed_float32_accuracy():
+    """f32 packed evaluation should track the f64 reference within ~1e-5
+    relative (the BASELINE parity budget)."""
+    vals = RNG.standard_normal(COUNTS)
+    grid64 = Grid.create(vals, SPACING, ORIGIN,
+                         interp_method=InterpolationMethod.BSPLINE,
+                         dtype=np.float64)
+    grid32 = Grid.create(vals, SPACING, ORIGIN,
+                         interp_method=InterpolationMethod.BSPLINE,
+                         dtype=np.float32)
+    packed32 = pack_grid(grid32)
+
+    lo = np.asarray(ORIGIN) + 0.5 * np.asarray(SPACING)
+    hi = (np.asarray(ORIGIN)
+          + (np.asarray(COUNTS) - 1.5) * np.asarray(SPACING))
+    pos = RNG.uniform(lo, hi, size=(50, 3))
+    s = np.ones(50)
+    ref = evaluate_grid(grid64, pos, s)
+    got = evaluate_packed(packed32, pos.astype(np.float32),
+                          s.astype(np.float32))
+    scale = np.abs(np.asarray(ref.per_atom_energy)).max()
+    err = np.abs(np.asarray(got.per_atom_energy, dtype=np.float64)
+                 - np.asarray(ref.per_atom_energy)).max()
+    assert err / scale < 1e-5

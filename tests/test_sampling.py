@@ -1,0 +1,98 @@
+"""BAT coordinates and the replica-exchange / genetic-MC sampler."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop, system_from_amber
+from openmmgridforce_tpu.sampling import (Sampler, SamplerConfig,
+                                          bat_to_xyz, build_zmatrix,
+                                          temperature_ladder, xyz_to_bat)
+
+DATA = "/root/reference/python/prmtopcrd"
+HAVE_FIXTURES = os.path.exists(f"{DATA}/ligand.prmtop")
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def ligand():
+    top = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    return top, crd
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_bat_roundtrip_ligand(ligand):
+    """xyz -> BAT -> xyz must reproduce coordinates exactly (the z-matrix
+    is a bijection up to numerics)."""
+    top, crd = ligand
+    z, primary = build_zmatrix(top.masses, [tuple(b) for b in top.bond_idx])
+    assert z.shape == (top.natom - 3, 4)
+    b = xyz_to_bat(crd, z, primary)
+    assert b.shape == (3 * top.natom,)
+    back = bat_to_xyz(b, z, primary)
+    np.testing.assert_allclose(back, crd, atol=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_bat_torsion_edit_preserves_geometry(ligand):
+    """Editing one torsion must keep all bond lengths/angles intact."""
+    top, crd = ligand
+    z, primary = build_zmatrix(top.masses, [tuple(b) for b in top.bond_idx])
+    b = xyz_to_bat(crd, z, primary)
+    n = len(z)
+    b2 = b.copy()
+    b2[9 + 2 * n + n // 2] += 1.0  # rotate one torsion by 1 rad
+    xyz2 = bat_to_xyz(b2, z, primary)
+    b3 = xyz_to_bat(xyz2, z, primary)
+    np.testing.assert_allclose(b3[9:9 + 2 * n], b[9:9 + 2 * n], atol=1e-8)
+    # and the round-trip reproduces the edited torsions
+    d = ((b3[9 + 2 * n:] - b2[9 + 2 * n:] + np.pi) % (2 * np.pi)) - np.pi
+    np.testing.assert_allclose(d, 0.0, atol=1e-8)
+
+
+def test_temperature_ladder():
+    t = temperature_ladder(300.0, 600.0, 21)
+    assert t[0] == pytest.approx(300.0)
+    assert t[-1] == pytest.approx(600.0)
+    ratios = t[1:] / t[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-12)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_sampler_end_to_end(ligand):
+    """Short production loop: MD + exchanges + genetic MC stay finite and
+    moves are bookkept."""
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=4, t_high=400.0, t_min=300.0,
+                           dt=0.001, friction=5.0, md_steps_per_trial=20)
+    sampler = Sampler(system, [], jnp.asarray(crd), config,
+                      bonds=[tuple(b) for b in top.bond_idx])
+
+    sampler.run(n_trials=3, n_exchange_per_trial=2, n_gmc_per_trial=1)
+
+    e = sampler.potential_energies()
+    assert e.shape == (4,)
+    assert np.all(np.isfinite(e))
+    assert sampler.n_exchange_attempted == 6
+    assert sampler.n_gmc_attempted == 6
+    pos = np.asarray(sampler.states.positions)
+    assert np.all(np.isfinite(pos))
+    # replicas decorrelate
+    assert np.ptp(pos, axis=0).max() > 1e-4
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_exchange_detailed_balance_acceptance(ligand):
+    """With all replicas at identical positions, every exchange must be
+    accepted (log_ratio == 0)."""
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=3, t_high=500.0, t_min=300.0)
+    sampler = Sampler(system, [], jnp.asarray(crd), config)
+    for _ in range(5):
+        assert sampler.replica_exchange() == 1
