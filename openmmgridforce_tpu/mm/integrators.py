@@ -40,13 +40,27 @@ def initialize_state(key, positions, masses, temperature):
     return MDState(positions=positions, velocities=v, key=key)
 
 
+def _constrain(constraints, x_ref, x_new, v, dt):
+    """SHAKE the positions and fold the correction into velocities."""
+    from .constraints import apply_rattle, apply_shake
+
+    x_c = apply_shake(constraints, x_ref, x_new)
+    v = v + (x_c - x_new) / dt
+    v = apply_rattle(constraints, x_c, v)
+    return x_c, v
+
+
 def make_langevin_step(force_fn: Callable, masses, dt, friction,
-                       temperature, scheme: str = "classic"):
+                       temperature, scheme: str = "classic",
+                       constraints=None):
     """Build one Langevin step function state -> state.
 
     force_fn(positions) -> forces [N, 3] (kJ/mol/nm).
     masses [N] amu, dt ps, friction 1/ps, temperature K (may be a traced
     scalar for per-replica temperatures under vmap).
+    ``constraints``: optional ConstraintSet — SHAKE after position updates
+    with the correction folded into velocities, plus RATTLE projection
+    (the HBonds workflow of the reference sampler, example/sampler.py:503).
     """
     masses = jnp.asarray(masses)
     inv_m = (1.0 / masses)[:, None]
@@ -61,26 +75,32 @@ def make_langevin_step(force_fn: Callable, masses, dt, friction,
             noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
             v = (a * v + (1.0 - a) * f * inv_m / friction
                  + jnp.sqrt(kT * (1.0 - a * a) * inv_m) * noise)
-            x = x + v * dt
-            return MDState(x, v, key)
+            x_new = x + v * dt
+            if constraints is not None:
+                x_new, v = _constrain(constraints, x, x_new, v, dt)
+            return MDState(x_new, v, key)
     elif scheme == "middle":
         def step(state: MDState) -> MDState:
             x, v, key = state
             key, sub = jax.random.split(key)
             f = force_fn(x)
             v = v + dt * f * inv_m
-            x = x + 0.5 * dt * v
+            x1 = x + 0.5 * dt * v
+            if constraints is not None:
+                x1, v = _constrain(constraints, x, x1, v, 0.5 * dt)
             noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
             v = a * v + jnp.sqrt(kT * (1.0 - a * a) * inv_m) * noise
-            x = x + 0.5 * dt * v
-            return MDState(x, v, key)
+            x2 = x1 + 0.5 * dt * v
+            if constraints is not None:
+                x2, v = _constrain(constraints, x1, x2, v, 0.5 * dt)
+            return MDState(x2, v, key)
     else:
         raise ValueError(f"unknown Langevin scheme {scheme!r}")
     return step
 
 
-def make_verlet_step(force_fn: Callable, masses, dt):
-    """Velocity Verlet (NVE)."""
+def make_verlet_step(force_fn: Callable, masses, dt, constraints=None):
+    """Velocity Verlet (NVE), optionally with SHAKE/RATTLE constraints."""
     masses = jnp.asarray(masses)
     inv_m = (1.0 / masses)[:, None]
 
@@ -89,8 +109,13 @@ def make_verlet_step(force_fn: Callable, masses, dt):
         f = force_fn(x)
         v_half = v + 0.5 * dt * f * inv_m
         x_new = x + dt * v_half
+        if constraints is not None:
+            x_new, v_half = _constrain(constraints, x, x_new, v_half, dt)
         f_new = force_fn(x_new)
         v_new = v_half + 0.5 * dt * f_new * inv_m
+        if constraints is not None:
+            from .constraints import apply_rattle
+            v_new = apply_rattle(constraints, x_new, v_new)
         return MDState(x_new, v_new, key)
 
     return step

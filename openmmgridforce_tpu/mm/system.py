@@ -20,6 +20,7 @@ from ..ops.interpolate import evaluate_grid
 from ..ops.packed import PackedGrid, evaluate_packed
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
+from .constraints import ConstraintSet, constraints_from_bonds
 from .forcefield import bonded_energy
 
 
@@ -41,6 +42,7 @@ class System:
     torsion_per: jax.Array
     torsion_phase: jax.Array
     pairs: Optional[PairTable] = None
+    constraints: Optional[ConstraintSet] = None
 
     @property
     def num_atoms(self) -> int:
@@ -49,13 +51,18 @@ class System:
 
 def system_from_amber(top: AmberTopology, dtype=jnp.float64,
                       hydrogen_mass: Optional[float] = None,
-                      include_nonbonded: bool = True) -> System:
+                      include_nonbonded: bool = True,
+                      constraints: Optional[str] = None) -> System:
     """Build a System from a parsed AMBER topology.
 
     ``hydrogen_mass``: if set, repartition hydrogen masses to this value,
     subtracting the difference from the bonded heavy atom (OpenMM's
     hydrogenMass option used by the sampler, reference
     example/sampler.py:476-482).
+    ``constraints``: None, "h_bonds" (alias "HBonds") or "all_bonds"
+    (alias "AllBonds") — constrained bonds are removed from the harmonic
+    terms (OpenMM createSystem semantics) and returned as a ConstraintSet
+    on the System.
     """
     masses = np.array(top.masses, dtype=float)
     if hydrogen_mass is not None:
@@ -83,6 +90,25 @@ def system_from_amber(top: AmberTopology, dtype=jnp.float64,
                                  exceptions=exceptions,
                                  dtype=np.dtype(dtype))
 
+    alias = {"HBonds": "h_bonds", "AllBonds": "all_bonds",
+             "h_bonds": "h_bonds", "all_bonds": "all_bonds"}
+    cset = None
+    bond_idx, bond_k, bond_r0 = top.bond_idx, top.bond_k, top.bond_r0
+    if constraints is not None:
+        cset = constraints_from_bonds(top.bond_idx, top.bond_r0,
+                                      top.masses,  # pre-repartition masses
+                                      which=alias[constraints])
+        # replace masses in the constraint set with repartitioned ones
+        cset = ConstraintSet(idx=cset.idx, length=cset.length,
+                             inv_mass=jnp.asarray(1.0 / masses,
+                                                  dtype=dtype))
+        cidx = {tuple(sorted(p)) for p in np.asarray(cset.idx)}
+        keep = np.array([tuple(sorted(b)) not in cidx
+                         for b in top.bond_idx])
+        bond_idx = top.bond_idx[keep]
+        bond_k = top.bond_k[keep]
+        bond_r0 = top.bond_r0[keep]
+
     def arr(x):
         return jnp.asarray(x, dtype=dtype)
 
@@ -94,9 +120,9 @@ def system_from_amber(top: AmberTopology, dtype=jnp.float64,
         charges=arr(top.charges),
         sigmas=arr(top.sigmas),
         epsilons=arr(top.epsilons),
-        bond_idx=iarr(top.bond_idx),
-        bond_k=arr(top.bond_k),
-        bond_r0=arr(top.bond_r0),
+        bond_idx=iarr(bond_idx),
+        bond_k=arr(bond_k),
+        bond_r0=arr(bond_r0),
         angle_idx=iarr(top.angle_idx),
         angle_k=arr(top.angle_k),
         angle_t0=arr(top.angle_t0),
@@ -105,6 +131,7 @@ def system_from_amber(top: AmberTopology, dtype=jnp.float64,
         torsion_per=arr(top.torsion_per),
         torsion_phase=arr(top.torsion_phase),
         pairs=pairs,
+        constraints=cset,
     )
 
 
@@ -157,7 +184,8 @@ def make_md_runner(n_steps: int, dt: float, friction: float,
             def force_fn(x):
                 return energy_and_forces(system, grids, x)[1]
             step = make_langevin_step(force_fn, system.masses, dt,
-                                      friction, t, scheme=scheme)
+                                      friction, t, scheme=scheme,
+                                      constraints=system.constraints)
             return run_segment(step, state, n_steps)
 
         if batched:
