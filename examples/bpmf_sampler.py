@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""BPMF production workflow: the TPU-native mirror of the reference's
+example/sampler.py CLI (``python bpmf_sampler.py -i input.json``).
+
+Reads the same input.json schema (run_job/nstate/ntrial_repX/ntrial_gMC/
+nstep_MD/H_mass/delta_t + ligand/receptor paths + grid files), builds the
+three grid forces with the reference's unit conversions
+(sampler.py:490-521: kcal->kJ for electrostatics, sqrt(kcal)*A^-6 and
+sqrt(kcal)*A^-3 for the LJ grids with (2*rVdw) diameter scaling), then runs
+the temperature-ladder sampler with all replicas batched on one chip.
+
+Grid inputs may be AlGDock NetCDF (.nc) or V3 binary (.grid) files; missing
+grid files can be regenerated from the receptor with --generate-grids.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# allow running from a source checkout without installation
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "openmmgridforce_tpu")):
+    sys.path.insert(0, _repo)
+
+
+def get_grid_binding(path, unit_conversion, scaling, interp_method, dtype):
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu import Grid
+    from openmmgridforce_tpu.mm import GridBinding
+    from openmmgridforce_tpu.ops.packed import pack_grid
+
+    if path.endswith(".nc"):
+        from openmmgridforce_tpu.io import read_netcdf
+        from openmmgridforce_tpu.units import ANGSTROM_TO_NM
+        data = read_netcdf(path)
+        counts = data["counts"]
+        spacing = tuple(s * ANGSTROM_TO_NM for s in data["spacing"])
+        origin = tuple(o * ANGSTROM_TO_NM for o in data["origin"])
+        vals = np.asarray(data["vals"]).reshape(counts) * unit_conversion
+    else:
+        from openmmgridforce_tpu.io import load_v3
+        d = load_v3(path)
+        counts, spacing, origin = d.counts, d.spacing, d.origin
+        vals = d.vals * unit_conversion
+
+    grid = Grid.create(vals, spacing, origin, interp_method=interp_method,
+                       dtype=dtype)
+    return GridBinding(grid=pack_grid(grid),
+                       scaling=jnp.asarray(scaling, dtype))
+
+
+def generate_grids(cfg, lig_crd, margin, spacing, dtype):
+    """Regenerate charge/ljr/lja grids from the receptor (for setups whose
+    grid files are unavailable)."""
+    from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
+    from openmmgridforce_tpu.ops import gridgen
+
+    rec = load_prmtop(cfg["dir"]["receptor_prmtop"])
+    rec_crd = load_inpcrd(cfg["dir"]["receptor_inpcrd"])
+    lo = lig_crd.min(0) - margin
+    counts = tuple(int(c) + 1 for c in
+                   np.ceil((lig_crd.max(0) + margin - lo) / spacing))
+    print(f"generating grids {counts} from {rec.natom} receptor atoms",
+          flush=True)
+    out = {}
+    for gt in ["charge", "ljr", "lja"]:
+        g = gridgen.generate_grid(counts, (spacing,) * 3, lo, gt, rec_crd,
+                                  rec.charges, rec.sigmas, rec.epsilons,
+                                  dtype=dtype)
+        out[gt] = g
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("--n-trials", type=int, default=100)
+    ap.add_argument("--generate-grids", action="store_true",
+                    help="regenerate grids from the receptor instead of "
+                         "loading grid files")
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--grid-spacing", type=float, default=0.025,
+                    help="spacing (nm) for --generate-grids")
+    args = ap.parse_args()
+
+    with open(args.input) as fh:
+        cfg = json.load(fh)
+
+    import jax
+    import jax.numpy as jnp
+
+    import openmmgridforce_tpu  # noqa: F401 (enables compilation cache)
+    from openmmgridforce_tpu.grid import InterpolationMethod
+    from openmmgridforce_tpu.mm import (load_inpcrd, load_prmtop,
+                                        system_from_amber)
+    from openmmgridforce_tpu.sampling import Sampler, SamplerConfig
+    from openmmgridforce_tpu.units import KCAL_TO_KJ
+    from openmmgridforce_tpu.utils import (StateDataReporter, save_sampler,
+                                           write_xyz_frame)
+
+    run_job = cfg["run_job"]
+    job = cfg[run_job]
+    dtype = jnp.float32
+
+    lig = load_prmtop(cfg["dir"]["ligand_prmtop"])
+    lig_crd = load_inpcrd(cfg["dir"]["ligand_inpcrd"])
+    system = system_from_amber(lig, dtype=dtype,
+                               hydrogen_mass=job.get("H_mass"),
+                               constraints="HBonds")
+
+    # per-atom scaling factors with the sampler's conventions
+    # (sampler.py:497-520: charge; sqrt(eps)*(2 rVdw)^6; sqrt(eps)*(2 rVdw)^3
+    # where rVdw = Rmin/2 = 2^(1/6) sigma / 2)
+    rvdw = (2.0 ** (1.0 / 6.0)) * lig.sigmas / 2.0
+    scale_q = lig.charges
+    scale_ljr = np.sqrt(lig.epsilons) * (2.0 * rvdw) ** 6
+    scale_lja = np.sqrt(lig.epsilons) * (2.0 * rvdw) ** 3
+
+    bindings = []
+    if args.generate_grids:
+        from openmmgridforce_tpu.mm import GridBinding
+        from openmmgridforce_tpu.ops.packed import pack_grid
+        grids = generate_grids(cfg, lig_crd, margin=1.0,
+                               spacing=args.grid_spacing, dtype=dtype)
+        for gt, scale in [("charge", scale_q), ("ljr", scale_ljr),
+                          ("lja", scale_lja)]:
+            g = grids[gt].with_(
+                interp_method=int(InterpolationMethod.BSPLINE))
+            bindings.append(GridBinding(grid=pack_grid(g),
+                                        scaling=jnp.asarray(scale, dtype)))
+    else:
+        specs = [
+            (cfg["grids"]["direct_elec"], KCAL_TO_KJ, scale_q),
+            (cfg["grids"]["LJr"], np.sqrt(KCAL_TO_KJ) * 1.0e6, scale_ljr),
+            (cfg["grids"]["LJa"], np.sqrt(KCAL_TO_KJ) * 1.0e3, scale_lja),
+        ]
+        for path, conv, scale in specs:
+            bindings.append(get_grid_binding(
+                path, conv, scale, InterpolationMethod.BSPLINE, dtype))
+
+    scfg = SamplerConfig(
+        n_states=cfg["nstate"],
+        t_high=job["T_HIGH"],
+        t_min=job["T_SIMMIN"],
+        dt=job["delta_t"] / 1000.0,  # fs -> ps
+        friction=1.0,
+        md_steps_per_trial=cfg["nstep_MD"],
+        hydrogen_mass=job.get("H_mass"),
+    )
+    sampler = Sampler(system, bindings, jnp.asarray(lig_crd, dtype), scfg,
+                      bonds=[tuple(b) for b in lig.bond_idx])
+
+    work_dir = args.work_dir or os.path.join(
+        cfg.get("work_dir", "."), run_job,
+        f'{cfg["nstate"]}_{cfg["ntrial_repX"]}_{cfg["ntrial_gMC"]}')
+    os.makedirs(work_dir, exist_ok=True)
+    energy_file = open(os.path.join(work_dir, "energies.dat"), "w")
+    xyz_file = open(os.path.join(work_dir, "traj.xyz"), "w")
+
+    def report(trial, s):
+        e = s.potential_energies()
+        energy_file.write("".join(f"{v / KCAL_TO_KJ:12.4f}"
+                                  for v in e) + "\n")
+        energy_file.flush()
+        pos = np.asarray(s.states.positions)
+        for istate in (0, len(e) - 1):
+            write_xyz_frame(xyz_file, f"state {istate} E={e[istate]:.3f}",
+                            pos[istate])
+        if trial % 50 == 49:
+            save_sampler(os.path.join(work_dir, "checkpoint"), s)
+
+    t0 = time.time()
+    sampler.run(n_trials=args.n_trials,
+                n_exchange_per_trial=cfg["ntrial_repX"],
+                n_gmc_per_trial=cfg["ntrial_gMC"],
+                callback=report)
+    elapsed = time.time() - t0
+
+    print(f"{args.n_trials} trials in {elapsed:.1f}s "
+          f"({args.n_trials * cfg['nstep_MD'] * cfg['nstate'] / elapsed:,.0f}"
+          f" replica-steps/s)")
+    print(f"exchange acceptance: "
+          f"{sampler.n_exchange_accepted}/{sampler.n_exchange_attempted}")
+    if sampler.n_gmc_attempted:
+        print(f"gMC acceptance: "
+              f"{sampler.n_gmc_accepted}/{sampler.n_gmc_attempted}")
+    energy_file.close()
+    xyz_file.close()
+
+
+if __name__ == "__main__":
+    main()
