@@ -36,7 +36,8 @@ def build_workload(dtype, device, n_replicas, grids_np=None):
     from openmmgridforce_tpu.mm import (GridBinding, load_inpcrd,
                                         load_prmtop, system_from_amber)
     from openmmgridforce_tpu.ops import gridgen
-    from openmmgridforce_tpu.ops.packed import pack_grid
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
     from openmmgridforce_tpu.parallel import init_replica_states
 
     DATA = "/root/reference/python/prmtopcrd"
@@ -70,16 +71,19 @@ def build_workload(dtype, device, n_replicas, grids_np=None):
                 f"{device.platform}): {time.time() - t0:.1f}s")
             np.savez(cache, counts=np.asarray(counts), **grids_np)
 
-        bindings = []
+        packs, scalings = [], []
         for gt in ["charge", "ljr", "lja"]:
             grid = Grid.create(grids_np[gt], spacing, lo,
                                interp_method=InterpolationMethod.BSPLINE,
                                dtype=dtype)
-            packed = pack_grid(grid)  # per-cell polynomial coefficients
-            s = gridgen.auto_scaling_factors(gt, lig.charges, lig.sigmas,
-                                             lig.epsilons)
-            bindings.append(GridBinding(grid=packed,
-                                        scaling=jnp.asarray(s, dtype)))
+            packs.append(pack_grid(grid))
+            scalings.append(np.asarray(gridgen.auto_scaling_factors(
+                gt, lig.charges, lig.sigmas, lig.epsilons)))
+        # fuse the co-located charge/ljr/lja grids: one gather per atom
+        multi = combine_packed_grids(packs)
+        bindings = [GridBinding(grid=multi,
+                                scaling=jnp.asarray(np.stack(scalings),
+                                                    dtype))]
 
         system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
         states = init_replica_states(

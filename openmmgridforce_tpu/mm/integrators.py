@@ -121,12 +121,19 @@ def make_verlet_step(force_fn: Callable, masses, dt, constraints=None):
     return step
 
 
-def run_segment(step_fn: Callable, state: MDState, n_steps: int) -> MDState:
-    """Run ``n_steps`` with lax.scan (jit-friendly, on-chip)."""
+def run_segment(step_fn: Callable, state: MDState, n_steps: int,
+                unroll: int = 4) -> MDState:
+    """Run ``n_steps`` with lax.scan (jit-friendly, on-chip).
+
+    ``unroll`` amortizes the backend's fixed per-iteration sequencing
+    overhead (~0.17 ms/iteration measured on the tunneled v5e) over
+    several physical steps per loop iteration.
+    """
     def body(s, _):
         return step_fn(s), None
 
-    final, _ = jax.lax.scan(body, state, None, length=n_steps)
+    final, _ = jax.lax.scan(body, state, None, length=n_steps,
+                            unroll=min(unroll, max(n_steps, 1)))
     return final
 
 

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..grid import Grid
 from ..ops.interpolate import evaluate_grid
-from ..ops.packed import PackedGrid, evaluate_packed
+from ..ops.packed import (MultiPackedGrid, PackedGrid,
+                          evaluate_multi, evaluate_packed)
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
 from .constraints import ConstraintSet, constraints_from_bonds
@@ -148,6 +149,8 @@ class GridBinding:
 
 
 def _eval_grid(grid, positions, scaling):
+    if isinstance(grid, MultiPackedGrid):
+        return evaluate_multi(grid, positions, scaling)  # scaling [G, N]
     if isinstance(grid, PackedGrid):
         return evaluate_packed(grid, positions, scaling)
     return evaluate_grid(grid, positions, scaling)

@@ -294,3 +294,153 @@ def evaluate_packed(packed: PackedGrid, positions,
     per_atom = jnp.where(active, energy_in, energy_oob)
     forces = jnp.where(active[..., None], force_in, force_oob)
     return GridEval(jnp.sum(per_atom), forces, per_atom)
+
+
+# ----------------------------------------------------------------------
+# Multi-grid fusion: co-located grids share one gather
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiPackedGrid:
+    """G packed grids with identical geometry fused into one coefficient
+    table, stored as [ncells, pad(G*K)].
+
+    The BPMF workload evaluates charge/ljr/lja grids at the SAME atom
+    positions every step; fusing them means one row gather per atom instead
+    of G (the gather instruction count — not bytes — is the cost on TPU).
+    Rows are zero-padded to a multiple of 128 floats so gathered rows are
+    whole lane tiles (measured ~1.5x faster than a 192-float minor dim).
+    """
+
+    coeffs: jax.Array            # [ncells, K_padded]
+    spacing: jax.Array
+    origin: jax.Array
+    counts: tuple = dataclasses.field(default=(0, 0, 0),
+                                      metadata=dict(static=True))
+    degree: int = dataclasses.field(default=2, metadata=dict(static=True))
+    n_grids: int = dataclasses.field(default=1, metadata=dict(static=True))
+    back_powers: tuple = dataclasses.field(default=(),
+                                           metadata=dict(static=True))
+    oob_k: float = dataclasses.field(default=0.0,
+                                     metadata=dict(static=True))
+
+    @property
+    def num_grids(self) -> int:
+        return self.n_grids
+
+    @property
+    def cell_counts(self):
+        nx, ny, nz = self.counts
+        return (nx - 1, ny - 1, nz - 1)
+
+
+def combine_packed_grids(packed_grids, lane_pad: int = 128
+                         ) -> MultiPackedGrid:
+    """Fuse PackedGrids with identical geometry/degree into one table."""
+    first = packed_grids[0]
+    for p in packed_grids[1:]:
+        if (p.counts != first.counts or p.degree != first.degree
+                or p.oob_k != first.oob_k):
+            raise ValueError("grids must share counts/degree/oob_k to fuse")
+    G = len(packed_grids)
+    K = first.coeffs.shape[-1]
+    ncells = first.coeffs.shape[0]
+    flat = jnp.concatenate([p.coeffs for p in packed_grids], axis=-1)
+    width = G * K
+    padded = -(-width // lane_pad) * lane_pad
+    if padded != width:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((ncells, padded - width), flat.dtype)],
+            axis=-1)
+    return MultiPackedGrid(
+        coeffs=flat,
+        spacing=first.spacing,
+        origin=first.origin,
+        counts=first.counts,
+        degree=first.degree,
+        n_grids=G,
+        back_powers=tuple(p.back_power for p in packed_grids),
+        oob_k=first.oob_k,
+    )
+
+
+def evaluate_multi(multi: MultiPackedGrid, positions, scaling_factors):
+    """Evaluate all fused grids with one gather per atom.
+
+    Args:
+      positions: [N, 3].
+      scaling_factors: [G, N] per-grid per-atom scalings.
+
+    Returns GridEval where per-atom energies/forces are summed over grids.
+    Note: the out-of-bounds restraint is applied ONCE for the fused set —
+    equivalent to the reference configuration of one restraint per
+    GridForce only when restraints never engage (production boxes) or when
+    the per-force restraint triple-counting is not wanted.
+    """
+    dtype = multi.coeffs.dtype
+    positions = jnp.asarray(positions, dtype=dtype)
+    scaling = jnp.asarray(scaling_factors, dtype=dtype)  # [G, N]
+
+    pos = positions - multi.origin
+    counts = jnp.asarray(multi.counts, dtype=dtype)
+    corner = multi.spacing * (counts - 1.0)
+    inside = jnp.all((pos >= 0.0) & (pos <= corner), axis=-1)
+
+    icounts = jnp.asarray(multi.counts)
+    t = pos / multi.spacing
+    ixyz = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, icounts - 2)
+    f = jnp.clip(t - ixyz, 0.0, 1.0)
+
+    ncx, ncy, ncz = multi.cell_counts
+    cell = (ixyz[..., 0] * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
+    d = multi.degree
+    G = multi.n_grids
+    K = d ** 3
+    rows = jnp.take(multi.coeffs, cell, axis=0)[..., :G * K]
+    rows = rows.reshape(rows.shape[:-1] + (G, K))     # [N, G, K]
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def powers(v):
+        return jnp.stack([v ** p for p in range(d)], axis=-1)
+
+    def dpowers(v):
+        return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
+                                                for p in range(1, d)],
+                         axis=-1)
+
+    px, py, pz = powers(fx), powers(fy), powers(fz)
+    dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+    R = rows.reshape(rows.shape[:-1] + (d, d, d))     # [N, G, d, d, d]
+    interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
+    gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)
+    gy = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, dpy, pz)
+    gz = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, dpz)
+    grad_s = jnp.stack([gx, gy, gz], axis=-1)         # [N, G, 3]
+
+    if any(bp != 0.0 for bp in multi.back_powers):
+        bps = jnp.asarray(multi.back_powers, dtype=dtype)
+        enabled = jnp.asarray([bp != 0.0 for bp in multi.back_powers])
+        sign = jnp.where(interp >= 0.0, 1.0, -1.0)
+        a = jnp.abs(interp)
+        act = (a > 1e-10) & enabled
+        a_safe = jnp.where(act, a, 1.0)
+        pf = jnp.where(act, bps * a_safe ** (bps - 1.0), 1.0)
+        interp = jnp.where(act, sign * a_safe ** bps, interp)
+        grad_s = grad_s * pf[..., None]
+
+    grad_phys = grad_s / multi.spacing                # [N, G, 3]
+    s_t = jnp.moveaxis(scaling, 0, -1)                # [N, G]
+    active = inside[..., None] & (s_t != 0.0)         # [N, G]
+    per_atom = jnp.sum(jnp.where(active, s_t * interp, 0.0), axis=-1)
+    force_in = -jnp.sum(jnp.where(active[..., None],
+                                  s_t[..., None] * grad_phys, 0.0), axis=-2)
+
+    dev = jnp.where(pos < 0.0, pos,
+                    jnp.where(pos > corner, pos - corner, 0.0))
+    oob = ~inside
+    per_atom = per_atom + jnp.where(
+        oob, 0.5 * multi.oob_k * jnp.sum(dev * dev, axis=-1), 0.0)
+    forces = force_in + jnp.where(oob[..., None], -multi.oob_k * dev, 0.0)
+    return GridEval(jnp.sum(per_atom), forces, per_atom)
