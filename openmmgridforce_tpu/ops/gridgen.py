@@ -104,11 +104,16 @@ def generate_grid(counts,
                   InterpolationMethod.TRILINEAR,
                   oob_k: float = DEFAULT_OOB_K,
                   chunk_size: int = 262144,
+                  backend: str = "jnp",
                   dtype=jnp.float32) -> Grid:
     """Generate one receptor grid (optionally with 27 analytic derivatives).
 
     Streams the grid through fixed-size chunks with ``lax.map`` so the peak
     device footprint is O(chunk_size * num_atoms) regardless of grid size.
+
+    ``backend``: "jnp" (default; any dtype, any platform) or "pallas"
+    (values-only float32 TPU kernel, ~3x faster generation; falls back to
+    jnp when derivatives or inverse-power storage are requested).
 
     Returns a :class:`Grid`. When derivatives are computed, ``vals`` is the
     d=0 slice of the derivative array — NOTE this matches the reference's
@@ -151,10 +156,18 @@ def generate_grid(counts,
                                  epsilons, grid_cap, inv_power,
                                  inv_power_mode, np.asarray(spacing))
 
+    use_pallas = (backend == "pallas" and not compute_derivatives
+                  and inv_power == 0.0)
     if compute_derivatives:
         derivs = jax.lax.map(jax.jit(deriv_chunk), idx)
         derivs = derivs.reshape(padded, 27)[:total].reshape(nx, ny, nz, 27)
         vals = derivs[..., 0]
+    elif use_pallas:
+        from .pallas_gridgen import generate_grid_values_pallas
+        vals = generate_grid_values_pallas(
+            counts, spacing, origin, grid_type, receptor_positions,
+            charges, sigmas, epsilons, grid_cap).astype(dtype)
+        derivs = None
     else:
         vals = jax.lax.map(jax.jit(value_chunk), idx)
         vals = vals.reshape(padded)[:total].reshape(nx, ny, nz)
