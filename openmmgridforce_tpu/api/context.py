@@ -209,8 +209,10 @@ class State:
 class _GridBindingInfo:
     """Resolved evaluation plan for one GridForce."""
 
-    def __init__(self, grid: Grid, atom_indices, scaling, group_sizes):
-        self.grid = grid
+    def __init__(self, grid, atom_indices, scaling, group_sizes,
+                 streamer=None):
+        self.grid = grid                # Grid, or None when streamed
+        self.streamer = streamer        # StreamedGridEvaluator or None
         self.atom_indices = jnp.asarray(atom_indices, dtype=jnp.int32)
         self.scaling = jnp.asarray(scaling, dtype=jnp.float64)
         self.group_sizes = group_sizes  # list[int], empty if no groups
@@ -263,8 +265,43 @@ class Context:
                 prop, top.charges, top.sigmas, top.epsilons))
             force.setScalingFactors(scaling)
 
+        # tiled generate -> evaluate pipeline (reference
+        # CudaGridForceKernels.cpp:323-345, 1411-1658): with a tiled output
+        # file configured, auto-generation writes straight to disk and the
+        # file becomes the tiled input
+        if (force.getAutoGenerateGrid() and force.getTiledOutputFile()
+                and not force.getTiledInputFile()):
+            from ..ops.gridgen import generate_grid_to_tiled_file
+            gt = force.getGridType()
+            counts, spacing, _, _ = force.getGridParameters()
+            rec = force.getReceptorAtoms()
+            lig = set(force.getLigandAtoms())
+            if not rec:
+                rec = [i for i in range(n_particles) if i not in lig]
+            rec_pos = force.getReceptorPositions()
+            generate_grid_to_tiled_file(
+                force.getTiledOutputFile(), counts, spacing,
+                force.getGridOrigin(), gt, rec_pos[:len(rec)],
+                top.charges[rec], top.sigmas[rec], top.epsilons[rec],
+                tile_size=force.getTiledOutputTileSize(),
+                compute_derivatives=force.getComputeDerivatives(),
+                grid_cap=force.getGridCap(),
+                inv_power=force.getInvPower(),
+                inv_power_mode=force.getInvPowerMode())
+            force.setTiledInputFile(force.getTiledOutputFile())
+
+        streamer = None
+        # a tiled input file always means file-backed evaluation
+        if force.getTiledInputFile():
+            from ..io.streaming import StreamedGridEvaluator
+            streamer = StreamedGridEvaluator(
+                force.getTiledInputFile(),
+                interp_method=force.getInterpolationMethod(),
+                budget_bytes=force.getMemoryBudgetMB() * 1024 * 1024,
+                oob_k=force.getOutOfBoundsRestraint())
+            grid = None
         # auto grid generation (reference :212-278)
-        if force.getAutoGenerateGrid() and force.getNumGridValues() == 0:
+        elif force.getAutoGenerateGrid() and force.getNumGridValues() == 0:
             gt = force.getGridType()
             if gt not in ("charge", "ljr", "lja"):
                 raise ValueError(f"Invalid grid type '{gt}'")
@@ -332,7 +369,8 @@ class Context:
                                      dtype=np.int32)
             scal = scaling[:len(atom_indices)]
 
-        return _GridBindingInfo(grid, atom_indices, scal, group_sizes)
+        return _GridBindingInfo(grid, atom_indices, scal, group_sizes,
+                                streamer=streamer)
 
     def _rebind_force(self, force):
         self._initialize_forces()
@@ -366,12 +404,17 @@ class Context:
                 out[idx] = (e, f)
             elif isinstance(force, GridForce):
                 info = self._grid_infos[idx]
-                res = evaluate_grid(info.grid,
-                                    positions[info.atom_indices],
-                                    info.scaling)
+                if info.streamer is not None:
+                    res = info.streamer.evaluate(
+                        np.asarray(positions)[np.asarray(info.atom_indices)],
+                        np.asarray(info.scaling))
+                else:
+                    res = evaluate_grid(info.grid,
+                                        positions[info.atom_indices],
+                                        info.scaling)
                 f = jnp.zeros_like(positions).at[info.atom_indices].add(
-                    res.forces)
-                out[idx] = (res.energy, f)
+                    jnp.asarray(res.forces, positions.dtype))
+                out[idx] = (jnp.asarray(res.energy, positions.dtype), f)
             elif isinstance(force, IsolatedNonbondedForce):
                 table, particles = self._iso_infos[idx]
                 e, fp = pair_energy_forces(table, positions[particles])
@@ -531,6 +574,8 @@ class Simulation:
 
 
 def clearGridCache():
-    """API-parity stub: the functional design has no hidden per-System
-    cache to clear (reference gridforceplugin.i:368-383)."""
+    """Clear the shared grid-file cache (SWIG ``clearGridCache``)."""
+    from .gridforce import clear_grid_cache
+
+    clear_grid_cache()
     return None

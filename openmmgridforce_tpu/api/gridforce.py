@@ -335,9 +335,8 @@ class GridForce(Force):
 
     # --- file I/O ------------------------------------------------------
     def loadFromFile(self, filename):
-        from ..io import load_v3
-
-        data = load_v3(filename)
+        data = _load_v3_cached(filename, int(self._inv_power_mode),
+                               self._inv_power)
         self._counts = list(data.counts)
         self._spacing = list(data.spacing)
         self._origin = list(data.origin)
@@ -395,6 +394,33 @@ class GridForce(Force):
             grid_type=self._grid_type,
             dtype=dtype,
         )
+
+
+# Per-file grid cache mirroring GridDataCache (reference
+# openmmapi/include/CachedGridData.h:141-208): repeated loads of the same
+# file with the same transform configuration share one parsed copy.
+_GRID_FILE_CACHE = {}
+
+
+def _load_v3_cached(filename, mode, inv_power):
+    import os
+
+    from ..io import load_v3
+
+    key = (os.path.abspath(filename), mode, float(inv_power))
+    mtime = os.path.getmtime(filename)
+    hit = _GRID_FILE_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    data = load_v3(filename)
+    _GRID_FILE_CACHE[key] = (mtime, data)
+    return data
+
+
+def clear_grid_cache():
+    """Drop all cached grid file data (SWIG ``clearGridCache``,
+    gridforceplugin.i:368-383)."""
+    _GRID_FILE_CACHE.clear()
 
 
 def castToGridForce(force):

@@ -217,3 +217,97 @@ def auto_scaling_factors(grid_type: str, charges, sigmas, epsilons,
     if grid_type == "lja":
         return jnp.sqrt(epsilons) * d ** 3
     raise ValueError(f"unknown grid type {grid_type!r}")
+
+
+def generate_grid_to_tiled_file(path,
+                                counts,
+                                spacing,
+                                origin,
+                                grid_type: str,
+                                receptor_positions,
+                                charges,
+                                sigmas,
+                                epsilons,
+                                *,
+                                tile_size: int = 32,
+                                compute_derivatives: bool = False,
+                                grid_cap: float = DEFAULT_GRID_CAP,
+                                inv_power: float = 0.0,
+                                inv_power_mode: InvPowerMode =
+                                InvPowerMode.NONE,
+                                dtype=jnp.float32,
+                                progress=None) -> None:
+    """Generate a grid directly into an OMGTILE file, tile by tile.
+
+    The counterpart of the reference's generateGridToTiledFile
+    (CudaGridForceKernels.cpp:1411-1658): grids too large to hold in
+    device or host memory stream through one tile-sized buffer. Each tile
+    is one jitted evaluation (a single compile serves every full-size tile;
+    boundary tiles get their own shapes).
+
+    ``progress``: optional callback(tile_index, total_tiles).
+    """
+    from ..io.omgtile import TiledGridWriter, num_tiles, tile_range
+
+    counts = tuple(int(c) for c in counts)
+    spacing_arr = jnp.asarray(spacing, dtype=dtype)
+    positions = jnp.asarray(receptor_positions, dtype=dtype)
+    charges = jnp.asarray(charges, dtype=dtype)
+    sigmas = jnp.asarray(sigmas, dtype=dtype)
+    epsilons = jnp.asarray(epsilons, dtype=dtype)
+    origin_arr = jnp.asarray(origin, dtype=dtype)
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def tile_values(start, shape):
+        ijk = jnp.stack(jnp.meshgrid(
+            start[0] + jnp.arange(shape[0]),
+            start[1] + jnp.arange(shape[1]),
+            start[2] + jnp.arange(shape[2]), indexing="ij"),
+            axis=-1).astype(dtype)
+        pts = origin_arr + ijk * spacing_arr
+        vals = _values_at_points(pts, grid_type, positions, charges,
+                                 sigmas, epsilons, grid_cap)
+        if inv_power != 0.0 and inv_power_mode != InvPowerMode.NONE:
+            sign = jnp.where(vals >= 0.0, 1.0, -1.0)
+            vals = sign * jnp.abs(vals) ** (1.0 / inv_power)
+        return vals
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def tile_derivs(start, shape):
+        ijk = jnp.stack(jnp.meshgrid(
+            start[0] + jnp.arange(shape[0]),
+            start[1] + jnp.arange(shape[1]),
+            start[2] + jnp.arange(shape[2]), indexing="ij"),
+            axis=-1).astype(dtype)
+        pts = origin_arr + ijk * spacing_arr
+        return _derivs_at_points(pts, grid_type, positions, charges,
+                                 sigmas, epsilons, grid_cap, inv_power,
+                                 inv_power_mode, np.asarray(spacing))
+
+    ntx, nty, ntz = num_tiles(counts, tile_size)
+    total_tiles = ntx * nty * ntz
+    done = 0
+    with TiledGridWriter(path, counts, spacing, origin,
+                         tile_size=tile_size,
+                         has_derivatives=compute_derivatives,
+                         inv_power=inv_power,
+                         inv_power_mode=int(inv_power_mode)) as writer:
+        for tx in range(ntx):
+            for ty in range(nty):
+                for tz in range(ntz):
+                    x0, y0, z0, x1, y1, z1 = tile_range(
+                        counts, tile_size, tx, ty, tz)
+                    shape = (x1 - x0, y1 - y0, z1 - z0)
+                    start = jnp.asarray([x0, y0, z0])
+                    if compute_derivatives:
+                        D = np.asarray(tile_derivs(start, shape))
+                        vals = D[..., 0]
+                        derivs = np.moveaxis(D, -1, 0)
+                        writer.write_tile(tx, ty, tz, vals, derivs)
+                    else:
+                        writer.write_tile(tx, ty, tz,
+                                          np.asarray(tile_values(start,
+                                                                 shape)))
+                    done += 1
+                    if progress is not None:
+                        progress(done, total_tiles)
