@@ -135,3 +135,17 @@ def nc_to_v3(nc_file, grid_file):
     vals = data["vals"] * KCAL_TO_KJ
     save_v3(grid_file, data["counts"], spacing, (0.0, 0.0, 0.0),
             np.asarray(vals).reshape(data["counts"]))
+
+
+def save_grid_as_dx(grid_force, filename):
+    """Save a GridForce (API object) or Grid pytree as .dx
+    (reference python/grid_io.py:167-183)."""
+    if hasattr(grid_force, "getGridParameters"):
+        counts, spacing, vals, _ = grid_force.getGridParameters()
+        origin = grid_force.getGridOrigin()
+    else:
+        counts = grid_force.counts
+        spacing = np.asarray(grid_force.spacing)
+        origin = np.asarray(grid_force.origin)
+        vals = np.asarray(grid_force.vals).reshape(-1)
+    write_dx(filename, counts, spacing, vals, origin)

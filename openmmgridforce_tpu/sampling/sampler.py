@@ -83,16 +83,19 @@ class Sampler:
             self._zmatrix, self._primary = bat.build_zmatrix(
                 np.asarray(system.masses), bonds)
 
-        # jitted batched kernels
-        def force_fn(x):
-            return energy_and_forces(system, self.grids, x)[1]
-
+        # jitted batched kernels: system/grids enter as ARGUMENTS so grid
+        # arrays never become HLO constants (multi-GB packed grids would
+        # otherwise be baked into the compiled program)
         temps = jnp.asarray(self.temperatures, x0.dtype)
 
-        def segment(states: MDState, n_steps: int) -> MDState:
+        def segment(states: MDState, system, grids, n_steps: int
+                    ) -> MDState:
             def one(state, t):
+                def force_fn(x):
+                    return energy_and_forces(system, grids, x)[1]
                 step = make_langevin_step(force_fn, system.masses,
-                                          config.dt, config.friction, t)
+                                          config.dt, config.friction, t,
+                                          constraints=system.constraints)
                 # fresh velocities at the replica temperature each trial
                 # (reference MD_with_step, sampler.py:153-164)
                 key, sub = jax.random.split(state.key)
@@ -104,19 +107,23 @@ class Sampler:
 
             return jax.vmap(one)(states, temps)
 
-        self._segment = jax.jit(segment, static_argnums=1)
+        _segment = jax.jit(segment, static_argnums=3)
+        self._segment = lambda states, n: _segment(states, self.system,
+                                                   self.grids, n)
 
-        def batched_energy(positions):
+        def batched_energy(positions, system, grids):
             return jax.vmap(
-                lambda x: energy_and_forces(system, self.grids, x)[0]
+                lambda x: energy_and_forces(system, grids, x)[0]
             )(positions)
 
-        self._energies = jax.jit(batched_energy)
+        _energies = jax.jit(batched_energy)
+        self._energies = lambda p: _energies(p, self.system, self.grids)
 
-        def single_energy(x):
-            return energy_and_forces(system, self.grids, x)[0]
+        def single_energy(x, system, grids):
+            return energy_and_forces(system, grids, x)[0]
 
-        self._energy1 = jax.jit(single_energy)
+        _energy1 = jax.jit(single_energy)
+        self._energy1 = lambda x: _energy1(x, self.system, self.grids)
 
         # MC statistics
         self.n_exchange_accepted = 0
