@@ -64,17 +64,50 @@ def _values_at_points(points, grid_type, positions, charges, sigmas,
     return tanh_cap_value(total, grid_cap)
 
 
+_DERIV_ATOM_CHUNK = 512
+
+
 def _derivs_at_points(points, grid_type, positions, charges, sigmas,
                       epsilons, grid_cap, inv_power, inv_power_mode,
                       spacing):
-    """All 27 cell-fractional derivatives at points [..., 3] -> [..., 27]."""
-    dr = points[..., None, :] - positions          # [..., A, 3]
-    r2 = jnp.sum(dr * dr, axis=-1)
-    r2c = jnp.maximum(r2, _R2_MIN_DERIVS)
-    rad = radial.radial_derivatives(r2c, grid_type, charges, sigmas,
-                                    epsilons)      # [..., A, 7]
-    cart = radial.radial_to_cartesian(dr, rad)     # [..., A, 27]
-    U = jnp.sum(cart, axis=-2)                     # [..., 27]
+    """All 27 cell-fractional derivatives at points [..., 3] -> [..., 27].
+
+    Receptor atoms stream through fixed-size chunks under lax.scan so the
+    [points, atoms, 27] Cartesian-derivative tensor never materializes
+    (XLA cannot fuse the 27-way stack into the atom reduction; at 16k
+    points x 9k atoms that tensor alone is 15 GB)."""
+    A = positions.shape[0]
+    C = min(_DERIV_ATOM_CHUNK, A)
+    n_chunks = -(-A // C)
+    A_pad = n_chunks * C
+    if A_pad != A:
+        # padding: far-away positions with zero strength contribute zero
+        # for every grid type (K factors vanish)
+        pad = A_pad - A
+        positions = jnp.concatenate(
+            [positions, jnp.full((pad, 3), 1.0e3, positions.dtype)])
+        charges = jnp.concatenate([charges,
+                                   jnp.zeros((pad,), charges.dtype)])
+        sigmas = jnp.concatenate([sigmas,
+                                  jnp.full((pad,), 0.1, sigmas.dtype)])
+        epsilons = jnp.concatenate([epsilons,
+                                    jnp.zeros((pad,), epsilons.dtype)])
+    pos_c = positions.reshape(n_chunks, C, 3)
+    q_c = charges.reshape(n_chunks, C)
+    s_c = sigmas.reshape(n_chunks, C)
+    e_c = epsilons.reshape(n_chunks, C)
+
+    def body(acc, chunk):
+        cpos, cq, cs, ce = chunk
+        dr = points[..., None, :] - cpos           # [..., C, 3]
+        r2 = jnp.sum(dr * dr, axis=-1)
+        r2c = jnp.maximum(r2, _R2_MIN_DERIVS)
+        rad = radial.radial_derivatives(r2c, grid_type, cq, cs, ce)
+        cart = radial.radial_to_cartesian(dr, rad)  # [..., C, 27]
+        return acc + jnp.sum(cart, axis=-2), None
+
+    U0 = jnp.zeros(points.shape[:-1] + (27,), points.dtype)
+    U, _ = jax.lax.scan(body, U0, (pos_c, q_c, s_c, e_c))
 
     V = apply_tanh_cap(U, grid_cap)
     if inv_power != 0.0 and inv_power_mode == InvPowerMode.STORED:

@@ -21,6 +21,16 @@ back-transform keeps runtime semantics identical).
 
 Semantics match ops/interpolate.py exactly (same clamping, OOB restraint,
 inv-power back-transform); parity is enforced in tests/test_packed.py.
+
+Precision note (triquintic): monomial coefficients of steep capped fields
+reach ~1e8-1e10 while cell values stay ~1e4, so float32 evaluation of the
+coefficient form carries ~1 kJ/mol absolute error near receptor cores —
+the SAME conditioning class as the reference CUDA kernel's per-atom
+a = 0.125*M*X in float32 (gridForce.cu:285-294; its tests gate at 2-5%).
+For tighter accuracy use the direct tensor-product Hermite path
+(ops.interpolate.evaluate_grid, ~1e-7 relative in f32: the Hermite basis
+is bounded on [0,1]) or pack in float64. Degree <= 3 methods (trilinear,
+B-spline, tricubic) are well-conditioned in either form.
 """
 
 from __future__ import annotations
@@ -145,6 +155,32 @@ def _pack_values(vals, method, runtime_inv, inv_power, counts):
 
 
 @partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
+                                   "ncells"))
+def _pack_values_padded(P, method, runtime_inv, inv_power, ncells):
+    """Like _pack_values but for a pre-padded slab (chunked packing):
+    B-spline slabs arrive already edge/neighbor-padded; trilinear slabs
+    arrive as raw point planes (no padding needed)."""
+    ncx, ncy, ncz = ncells
+    C = jnp.asarray(_value_axis_matrix(method), dtype=P.dtype)
+    if runtime_inv:
+        P = invpower_value(P, 1.0 / inv_power)
+
+    def contract(x, axis, ncells_axis):
+        A = C.shape[1]
+        S = jnp.stack([jax.lax.slice_in_dim(x, a, a + ncells_axis,
+                                            axis=axis)
+                       for a in range(A)], axis=0)
+        return jnp.einsum("pa,a...->p...", C, S)
+
+    T = contract(P, 0, ncx)
+    T = contract(T, 2, ncy)
+    T = contract(T, 4, ncz)
+    coeffs = jnp.transpose(T, (3, 4, 5, 2, 1, 0))
+    K = C.shape[0] ** 3
+    return coeffs.reshape(ncx * ncy * ncz, K)
+
+
+@partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
                                    "counts"))
 def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
     nx, ny, nz = counts
@@ -169,17 +205,26 @@ def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
     return coeffs.reshape(ncx * ncy * ncz, K)
 
 
-def pack_grid(grid: Grid, dtype=None) -> PackedGrid:
+def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
+              ) -> PackedGrid:
     """Precompute per-cell polynomial coefficients for a Grid.
 
     The whole-grid contraction runs as a single jitted program (one
     compile, arrays as arguments — never baked into the HLO as constants,
     which matters on backends with remote compilation).
+
+    ``x_chunk``: pack in x-slabs of this many cells to bound device
+    memory for large grids (each slab carries its one-plane stencil
+    overlap). Defaults to whole-grid packing below ~2M cells and
+    64-cell slabs above.
     """
     dtype = dtype or grid.vals.dtype
     method = grid.interp_method
     nx, ny, nz = grid.counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+
+    if x_chunk is None and ncx * ncy * ncz > 2_000_000:
+        x_chunk = max(1, 64)
 
     back_power = 0.0
     if grid.inv_power_mode in (InvPowerMode.RUNTIME, InvPowerMode.STORED) \
@@ -188,26 +233,68 @@ def pack_grid(grid: Grid, dtype=None) -> PackedGrid:
     runtime_inv = (grid.inv_power_mode == InvPowerMode.RUNTIME
                    and grid.inv_power != 0.0)
 
-    if method in (InterpolationMethod.TRILINEAR,
-                  InterpolationMethod.BSPLINE):
-        # warm the basis-matrix cache OUTSIDE the jit trace (the
-        # Vandermonde fit runs eager jax and must not see tracers)
-        _value_axis_matrix(int(method))
-        coeffs = _pack_values(jnp.asarray(grid.vals, dtype=dtype),
-                              method=int(method), runtime_inv=runtime_inv,
-                              inv_power=grid.inv_power, counts=grid.counts)
+    value_based = method in (InterpolationMethod.TRILINEAR,
+                             InterpolationMethod.BSPLINE)
+    if value_based:
+        _value_axis_matrix(int(method))  # warm cache outside any trace
         degree = 2 if method == InterpolationMethod.TRILINEAR else 4
-    elif method in (InterpolationMethod.TRICUBIC,
-                    InterpolationMethod.TRIQUINTIC):
+    else:
         if grid.derivs is None:
             raise ValueError("Hermite methods need precomputed derivatives")
-        _hermite_axis_matrix(int(method))  # warm cache outside the trace
-        coeffs = _pack_derivs(jnp.asarray(grid.derivs, dtype=dtype),
-                              method=int(method), runtime_inv=runtime_inv,
-                              inv_power=grid.inv_power, counts=grid.counts)
+        _hermite_axis_matrix(int(method))
         degree = 4 if method == InterpolationMethod.TRICUBIC else 6
+
+    def pack_slab(data, c0, c1):
+        """Pack cells [c0, c1) along x from a slice carrying its stencil
+        overlap; the slice spans grid points [c0, c1 + 1) (values add the
+        B-spline pad separately inside _pack_values via edge-pad of the
+        SLICE — so interior slabs must bring real neighbor planes)."""
+        n_slab = c1 - c0
+        if value_based:
+            if method == InterpolationMethod.BSPLINE:
+                # planes needed: [c0-1, c1+2], clamped = edge padding
+                lo = max(c0 - 1, 0)
+                hi = min(c1 + 3, nx)
+                sl = jnp.asarray(data[lo:hi], dtype=dtype)
+                pad_lo = lo - (c0 - 1)
+                pad_hi = (c1 + 3) - hi
+                sl = jnp.pad(sl, ((pad_lo, pad_hi), (1, 2), (1, 2)),
+                             mode="edge")
+                return _pack_values_padded(
+                    sl, method=int(method), runtime_inv=runtime_inv,
+                    inv_power=grid.inv_power,
+                    ncells=(n_slab, ncy, ncz))
+            sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+            return _pack_values_padded(
+                sl, method=int(method), runtime_inv=runtime_inv,
+                inv_power=grid.inv_power, ncells=(n_slab, ncy, ncz))
+        sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+        return _pack_derivs(sl, method=int(method),
+                            runtime_inv=runtime_inv,
+                            inv_power=grid.inv_power,
+                            counts=(n_slab + 1, ny, nz))
+
+    data = grid.vals if value_based else grid.derivs
+    if x_chunk is None or x_chunk >= ncx:
+        if value_based:
+            coeffs = _pack_values(jnp.asarray(data, dtype=dtype),
+                                  method=int(method),
+                                  runtime_inv=runtime_inv,
+                                  inv_power=grid.inv_power,
+                                  counts=grid.counts)
+        else:
+            coeffs = _pack_derivs(jnp.asarray(data, dtype=dtype),
+                                  method=int(method),
+                                  runtime_inv=runtime_inv,
+                                  inv_power=grid.inv_power,
+                                  counts=grid.counts)
     else:
-        raise ValueError(f"unknown interpolation method {method}")
+        data = np.asarray(data)
+        parts = []
+        for c0 in range(0, ncx, x_chunk):
+            c1 = min(c0 + x_chunk, ncx)
+            parts.append(np.asarray(pack_slab(data, c0, c1)))
+        coeffs = jnp.asarray(np.concatenate(parts, axis=0))
 
     return PackedGrid(
         coeffs=coeffs,

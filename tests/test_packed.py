@@ -90,3 +90,22 @@ def test_packed_float32_accuracy():
     err = np.abs(np.asarray(got.per_atom_energy, dtype=np.float64)
                  - np.asarray(ref.per_atom_energy)).max()
     assert err / scale < 1e-5
+
+
+@pytest.mark.parametrize("method", [InterpolationMethod.TRILINEAR,
+                                    InterpolationMethod.BSPLINE,
+                                    InterpolationMethod.TRIQUINTIC])
+def test_chunked_packing_matches_whole_grid(method):
+    """x-slab chunked packing (for big grids) is bit-identical to
+    whole-grid packing."""
+    needs_derivs = method == InterpolationMethod.TRIQUINTIC
+    vals = RNG.standard_normal(COUNTS)
+    derivs = (RNG.standard_normal(COUNTS + (27,)) if needs_derivs
+              else None)
+    grid = Grid.create(vals, SPACING, ORIGIN, derivs=derivs,
+                       interp_method=method, dtype=np.float64)
+    whole = pack_grid(grid)
+    chunked = pack_grid(grid, x_chunk=2)
+    np.testing.assert_allclose(np.asarray(chunked.coeffs),
+                               np.asarray(whole.coeffs), rtol=1e-12,
+                               atol=1e-13)
