@@ -282,3 +282,76 @@ def test_isolated_nonbonded_force_api():
             sr6 = (s / r) ** 6
             want += COULOMB_CONST * qq / r + 4 * ep * (sr6 ** 2 - sr6)
     assert float(e) == pytest.approx(want, rel=1e-10)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_autogrid_save_and_reload(tmp_path):
+    """Mirror of test_autogrid_save.py: parameters populated after Context
+    creation; saved auto-generated grid reloads identically."""
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    n_rec = 8
+    rec_q = RNG.uniform(-0.4, 0.4, n_rec)
+    rec_top = _synthetic_topology(n_rec, rec_q,
+                                  RNG.uniform(0.25, 0.3, n_rec),
+                                  RNG.uniform(0.3, 0.7, n_rec))
+    rec_pos = crd.mean(0) + RNG.uniform(-0.5, 0.5, (n_rec, 3))
+
+    system = gfp.create_system(rec_top)
+    g = gfp.GridForce()
+    g.addGridCounts(6, 6, 6)
+    g.addGridSpacing(0.2, 0.2, 0.2)
+    g.setGridOrigin(*(crd.mean(0) - 0.6))
+    g.setAutoGenerateGrid(True)
+    g.setGridType("lja")
+    g.setReceptorAtoms(list(range(n_rec)))
+    g.setReceptorPositionsFromLists(rec_pos)
+    g.setScalingFactors(np.zeros(n_rec))
+    system.addForce(g)
+
+    assert g.getNumGridValues() == 0  # before Context creation
+    ctx = gfp.Context(system, gfp.VerletIntegrator(0.001))
+    counts, spacing, vals, _ = g.getGridParameters()
+    assert counts == [6, 6, 6]
+    assert len(vals) == 216 and np.all(np.isfinite(vals))
+
+    p = str(tmp_path / "auto.grid")
+    g.saveToFile(p)
+    g2 = gfp.GridForce()
+    g2.loadFromFile(p)
+    np.testing.assert_allclose(g2.getGridValues(), vals, rtol=1e-12)
+    assert g2.getGridType() == "lja"
+
+
+def test_binary_netcdf_equivalence(tmp_path):
+    """Mirror of test_auto_grid.py's binary-vs-NetCDF check: the same grid
+    through both formats evaluates identically."""
+    from openmmgridforce_tpu.io import read_netcdf, write_netcdf
+
+    counts = (5, 4, 6)
+    vals = RNG.standard_normal(int(np.prod(counts)))
+    spacing, origin = (0.1, 0.1, 0.1), (0.5, 0.5, 0.5)
+
+    g_bin = gfp.GridForce()
+    g_bin.addGridCounts(*counts)
+    g_bin.addGridSpacing(*spacing)
+    g_bin.setGridOrigin(*origin)
+    g_bin.setGridValues(vals)
+    pb = str(tmp_path / "g.grid")
+    g_bin.saveToFile(pb)
+
+    pn = str(tmp_path / "g.nc")
+    write_netcdf(pn, counts, spacing, vals, origin)
+    d = read_netcdf(pn)
+
+    g1 = gfp.GridForce()
+    g1.loadFromFile(pb)
+    g2 = gfp.GridForce()
+    g2.addGridCounts(*d["counts"])
+    g2.addGridSpacing(*d["spacing"])
+    g2.setGridOrigin(*d["origin"])
+    g2.setGridValues(d["vals"])
+
+    np.testing.assert_allclose(g1.getGridValues(), g2.getGridValues(),
+                               rtol=1e-12)
+    assert g1.getGridParameters()[0] == g2.getGridParameters()[0]
