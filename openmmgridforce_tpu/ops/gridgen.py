@@ -103,8 +103,10 @@ def _derivs_at_points(points, grid_type, positions, charges, sigmas,
         r2 = jnp.sum(dr * dr, axis=-1)
         r2c = jnp.maximum(r2, _R2_MIN_DERIVS)
         rad = radial.radial_derivatives(r2c, grid_type, cq, cs, ce)
-        cart = radial.radial_to_cartesian(dr, rad)  # [..., C, 27]
-        return acc + jnp.sum(cart, axis=-2), None
+        # per-component atom reduction: the [..., C, 27] tensor never
+        # materializes (each slot fuses elementwise work into its own sum)
+        cart = radial.radial_to_cartesian(dr, rad, reduce_axis=-1)
+        return acc + cart, None
 
     U0 = jnp.zeros(points.shape[:-1] + (27,), points.dtype)
     U, _ = jax.lax.scan(body, U0, (pos_c, q_c, s_c, e_c))

@@ -56,14 +56,19 @@ def radial_derivatives(r2, grid_type: str, charge, sigma, epsilon):
     return jnp.stack(out, axis=-1)
 
 
-def radial_to_cartesian(dr, rad):
+def radial_to_cartesian(dr, rad, reduce_axis=None):
     """Convert radial derivatives to the 27 Cartesian derivatives.
 
     Args:
       dr:  [..., 3] displacement grid_point - atom_position (nm).
       rad: [..., 7] radial derivatives [U, dU, d2U, ..., d6U].
+      reduce_axis: if set, sum each derivative component over this axis
+        BEFORE stacking (e.g. -1 to reduce over an atom axis). This keeps
+        the full [..., atoms, 27] tensor from ever materializing — XLA
+        fuses each component's elementwise work into its reduction.
 
-    Returns [..., 27] in the canonical derivative order.
+    Returns [..., 27] in the canonical derivative order (with
+    ``reduce_axis`` removed when given).
     """
     dU, d2U, d3U = rad[..., 1], rad[..., 2], rad[..., 3]
     d4U, d5U, d6U = rad[..., 4], rad[..., 5], rad[..., 6]
@@ -99,6 +104,8 @@ def radial_to_cartesian(dr, rad):
     D6 = d3U * i3 - 3.0 * d2U * i4 + 3.0 * dU * i5
 
     dUr = dU * inv_r
+    red = ((lambda t: jnp.sum(t, axis=reduce_axis))
+           if reduce_axis is not None else (lambda t: t))
     out = [
         rad[..., 0],                      # 0 f
         dU * nx, dU * ny, dU * nz,        # 1-3
@@ -128,7 +135,7 @@ def radial_to_cartesian(dr, rad):
          + B6 * (nx2 * ny2 + nx2 * nz2 + ny2 * nz2)
          + C6 * (nx2 + ny2 + nz2) + D6),          # 26 xxyyzz
     ]
-    return jnp.stack(out, axis=-1)
+    return jnp.stack([red(t) for t in out], axis=-1)
 
 
 def field_value(r, grid_type: str, charge, sigma, epsilon):
