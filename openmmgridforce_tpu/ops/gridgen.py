@@ -191,9 +191,36 @@ def generate_grid(counts,
                                  epsilons, grid_cap, inv_power,
                                  inv_power_mode, np.asarray(spacing))
 
-    use_pallas = (backend == "pallas" and not compute_derivatives
-                  and inv_power == 0.0)
-    if compute_derivatives:
+    use_pallas = (backend == "pallas"
+                  and (compute_derivatives or inv_power == 0.0))
+    if compute_derivatives and use_pallas:
+        from .pallas_gridgen_derivs import generate_raw_derivs_pallas
+        raw = generate_raw_derivs_pallas(
+            counts, spacing, origin, grid_type, receptor_positions,
+            charges, sigmas, epsilons)
+
+        @jax.jit
+        def post(chunk):
+            V = apply_tanh_cap(chunk, grid_cap)
+            if inv_power != 0.0 and inv_power_mode == InvPowerMode.STORED:
+                V = apply_invpower(V, 1.0 / inv_power)
+            scale = np.array([
+                math.prod(float(sp) ** o
+                          for sp, o in zip(spacing, orders))
+                for orders in DERIV_ORDERS])
+            return V * jnp.asarray(scale, dtype=V.dtype)
+
+        raw_flat = raw.reshape(total, 27)
+        pad27 = padded - total
+        if pad27:
+            raw_flat = jnp.concatenate(
+                [raw_flat, jnp.zeros((pad27, 27), raw_flat.dtype)])
+        derivs = jax.lax.map(post, raw_flat.reshape(n_chunks, chunk_size,
+                                                    27))
+        derivs = derivs.reshape(padded, 27)[:total].reshape(
+            nx, ny, nz, 27).astype(dtype)
+        vals = derivs[..., 0]
+    elif compute_derivatives:
         derivs = jax.lax.map(jax.jit(deriv_chunk), idx)
         derivs = derivs.reshape(padded, 27)[:total].reshape(nx, ny, nz, 27)
         vals = derivs[..., 0]

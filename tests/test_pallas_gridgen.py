@@ -41,3 +41,70 @@ def test_pallas_gridgen_capping_saturates():
         counts, spacing, origin, "ljr", pos, np.array([0.0]),
         np.array([0.3]), np.array([1.0]), 500.0, interpret=True))
     assert got[1, 1, 1] == pytest.approx(500.0)
+
+
+@pytest.mark.parametrize("grid_type", ["charge", "ljr"])
+def test_pallas_raw_derivs_match_jnp(grid_type):
+    from openmmgridforce_tpu.ops import radial
+    from openmmgridforce_tpu.ops.gridgen import grid_point_positions
+    from openmmgridforce_tpu.ops.pallas_gridgen_derivs import (
+        generate_raw_derivs_pallas)
+
+    counts = (6, 7, 8)
+    spacing = (0.1, 0.11, 0.09)
+    origin = (0.0, -0.2, 0.3)
+    A = 11
+    pos = RNG.uniform(-0.3, 1.2, (A, 3)).astype(np.float32)
+    q = RNG.uniform(-1, 1, A)
+    sig = RNG.uniform(0.2, 0.35, A)
+    eps = RNG.uniform(0.1, 1.0, A)
+
+    got = np.asarray(generate_raw_derivs_pallas(
+        counts, spacing, origin, grid_type, pos, q, sig, eps,
+        interpret=True))
+
+    # float64 ground truth; the float32 kernel must track it to f32 grade
+    idx = jnp.arange(np.prod(counts))
+    pts = grid_point_positions(counts, jnp.asarray(spacing, jnp.float64),
+                               jnp.asarray(origin, jnp.float64), idx)
+    dr = pts[:, None, :] - jnp.asarray(pos, jnp.float64)
+    r2 = jnp.maximum(jnp.sum(dr * dr, -1), 4e-4)
+    rad = radial.radial_derivatives(r2, grid_type,
+                                    jnp.asarray(q, jnp.float64),
+                                    jnp.asarray(sig, jnp.float64),
+                                    jnp.asarray(eps, jnp.float64))
+    want = np.asarray(jnp.sum(radial.radial_to_cartesian(dr, rad),
+                              axis=1)).reshape(counts + (27,))
+    scale = np.abs(want).max(axis=(0, 1, 2)) + 1e-30
+    assert (np.abs(got - want) / scale).max() < 2e-4
+
+
+def test_pallas_deriv_backend_end_to_end():
+    """generate_grid(backend='pallas', compute_derivatives=True) matches
+    the jnp pipeline (interpret mode)."""
+    import openmmgridforce_tpu.ops.pallas_gridgen_derivs as pgd
+    import openmmgridforce_tpu.ops.pallas_gridgen as pg
+    from unittest import mock
+
+    counts = (6, 6, 6)
+    spacing = (0.1,) * 3
+    origin = (0.0,) * 3
+    A = 9
+    pos = RNG.uniform(-0.2, 0.8, (A, 3))
+    q = RNG.uniform(-0.5, 0.5, A)
+    sig = RNG.uniform(0.25, 0.35, A)
+    eps = RNG.uniform(0.2, 0.8, A)
+
+    ref = gridgen.generate_grid(counts, spacing, origin, "lja", pos, q,
+                                sig, eps, compute_derivatives=True,
+                                dtype=jnp.float32)
+    orig = pgd.generate_raw_derivs_pallas
+    with mock.patch.object(pgd, "generate_raw_derivs_pallas",
+                           lambda *a, **k: orig(*a, interpret=True, **k)):
+        got = gridgen.generate_grid(counts, spacing, origin, "lja", pos,
+                                    q, sig, eps, compute_derivatives=True,
+                                    backend="pallas", dtype=jnp.float32)
+    d1 = np.asarray(ref.derivs)
+    d2 = np.asarray(got.derivs)
+    scale = np.abs(d1).max(axis=(0, 1, 2)) + 1e-30
+    assert (np.abs(d2 - d1) / scale).max() < 5e-5
