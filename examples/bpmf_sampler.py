@@ -57,6 +57,8 @@ def get_grid_binding(path, unit_conversion, scaling, interp_method, dtype):
 def generate_grids(cfg, lig_crd, margin, spacing, dtype):
     """Regenerate charge/ljr/lja grids from the receptor (for setups whose
     grid files are unavailable)."""
+    import jax
+
     from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
     from openmmgridforce_tpu.ops import gridgen
 
@@ -67,11 +69,12 @@ def generate_grids(cfg, lig_crd, margin, spacing, dtype):
                    np.ceil((lig_crd.max(0) + margin - lo) / spacing))
     print(f"generating grids {counts} from {rec.natom} receptor atoms",
           flush=True)
+    backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
     out = {}
     for gt in ["charge", "ljr", "lja"]:
         g = gridgen.generate_grid(counts, (spacing,) * 3, lo, gt, rec_crd,
                                   rec.charges, rec.sigmas, rec.epsilons,
-                                  dtype=dtype)
+                                  backend=backend, dtype=dtype)
         out[gt] = g
     return out
 
@@ -124,15 +127,21 @@ def main():
     bindings = []
     if args.generate_grids:
         from openmmgridforce_tpu.mm import GridBinding
-        from openmmgridforce_tpu.ops.packed import pack_grid
+        from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                    pack_grid)
         grids = generate_grids(cfg, lig_crd, margin=1.0,
                                spacing=args.grid_spacing, dtype=dtype)
+        packs, scales = [], []
         for gt, scale in [("charge", scale_q), ("ljr", scale_ljr),
                           ("lja", scale_lja)]:
             g = grids[gt].with_(
                 interp_method=int(InterpolationMethod.BSPLINE))
-            bindings.append(GridBinding(grid=pack_grid(g),
-                                        scaling=jnp.asarray(scale, dtype)))
+            packs.append(pack_grid(g))
+            scales.append(np.asarray(scale))
+        # fused multi-grid: one gather per atom serves all three fields
+        bindings.append(GridBinding(
+            grid=combine_packed_grids(packs),
+            scaling=jnp.asarray(np.stack(scales), dtype)))
     else:
         specs = [
             (cfg["grids"]["direct_elec"], KCAL_TO_KJ, scale_q),

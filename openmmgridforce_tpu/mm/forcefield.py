@@ -60,3 +60,99 @@ def bonded_energy(positions, system):
                            system.angle_t0)
             + torsion_energy(positions, system.torsion_idx, system.torsion_k,
                              system.torsion_per, system.torsion_phase))
+
+
+# ----------------------------------------------------------------------
+# Closed-form forces (the MD hot path; autodiff of the energies above is
+# used as the test oracle, see tests/test_forcefield_forces.py)
+# ----------------------------------------------------------------------
+
+def bond_energy_forces(positions, idx, k, r0):
+    if idx.shape[0] == 0:
+        z = jnp.zeros_like(positions)
+        return jnp.zeros((), positions.dtype), z
+    d = positions[idx[:, 0]] - positions[idx[:, 1]]
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    dr = r - r0
+    e = jnp.sum(0.5 * k * dr * dr)
+    f_pair = (-k * dr / r)[:, None] * d          # force on atom i
+    forces = jnp.zeros_like(positions)
+    forces = forces.at[idx[:, 0]].add(f_pair)
+    forces = forces.at[idx[:, 1]].add(-f_pair)
+    return e, forces
+
+
+def angle_energy_forces(positions, idx, k, t0):
+    if idx.shape[0] == 0:
+        z = jnp.zeros_like(positions)
+        return jnp.zeros((), positions.dtype), z
+    a = positions[idx[:, 0]] - positions[idx[:, 1]]
+    b = positions[idx[:, 2]] - positions[idx[:, 1]]
+    na = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    nb = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    ah = a / na[:, None]
+    bh = b / nb[:, None]
+    cos_t = jnp.clip(jnp.sum(ah * bh, axis=-1), -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+    e = jnp.sum(0.5 * k * (theta - t0) ** 2)
+
+    # dtheta/da = -(bh - cos*ah) / (|a| sin); grad E = k (theta-t0) dtheta
+    coef = (k * (theta - t0) / sin_t)[:, None]
+    gi = coef * (bh - cos_t[:, None] * ah) / na[:, None] * -1.0
+    gk = coef * (ah - cos_t[:, None] * bh) / nb[:, None] * -1.0
+    forces = jnp.zeros_like(positions)
+    forces = forces.at[idx[:, 0]].add(-gi)
+    forces = forces.at[idx[:, 2]].add(-gk)
+    forces = forces.at[idx[:, 1]].add(gi + gk)
+    return e, forces
+
+
+def torsion_energy_forces(positions, idx, k, periodicity, phase):
+    if idx.shape[0] == 0:
+        z = jnp.zeros_like(positions)
+        return jnp.zeros((), positions.dtype), z
+    p0, p1, p2, p3 = (positions[idx[:, i]] for i in range(4))
+    b1 = p1 - p0
+    b2 = p2 - p1
+    b3 = p3 - p2
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    nb2 = jnp.sqrt(jnp.sum(b2 * b2, axis=-1))
+    m1 = jnp.cross(n1, b2 / nb2[:, None])
+    x = jnp.sum(n1 * n2, axis=-1)
+    y = jnp.sum(m1 * n2, axis=-1)
+    phi = jnp.arctan2(y, x)
+    e = jnp.sum(k * (1.0 + jnp.cos(periodicity * phi - phase)))
+
+    de_dphi = -k * periodicity * jnp.sin(periodicity * phi - phase)
+    n1_sq = jnp.maximum(jnp.sum(n1 * n1, axis=-1), 1e-12)
+    n2_sq = jnp.maximum(jnp.sum(n2 * n2, axis=-1), 1e-12)
+    # sign convention fixed by the atan2(y, x) definition above
+    # (m1 = n1 x b2_hat): dphi/dp0 is ALONG +n1, dphi/dp3 along -n2
+    dphi_dp0 = (nb2 / n1_sq)[:, None] * n1
+    dphi_dp3 = (-nb2 / n2_sq)[:, None] * n2
+    c12 = (jnp.sum(b1 * b2, axis=-1) / (nb2 * nb2))[:, None]
+    c32 = (jnp.sum(b3 * b2, axis=-1) / (nb2 * nb2))[:, None]
+    dphi_dp1 = -(1.0 + c12) * dphi_dp0 + c32 * dphi_dp3
+    dphi_dp2 = -dphi_dp0 - dphi_dp1 - dphi_dp3  # translation invariance
+
+    forces = jnp.zeros_like(positions)
+    de = de_dphi[:, None]
+    forces = forces.at[idx[:, 0]].add(-de * dphi_dp0)
+    forces = forces.at[idx[:, 1]].add(-de * dphi_dp1)
+    forces = forces.at[idx[:, 2]].add(-de * dphi_dp2)
+    forces = forces.at[idx[:, 3]].add(-de * dphi_dp3)
+    return e, forces
+
+
+def bonded_energy_forces(positions, system):
+    """Closed-form energy and forces of all bonded terms."""
+    e1, f1 = bond_energy_forces(positions, system.bond_idx, system.bond_k,
+                                system.bond_r0)
+    e2, f2 = angle_energy_forces(positions, system.angle_idx,
+                                 system.angle_k, system.angle_t0)
+    e3, f3 = torsion_energy_forces(positions, system.torsion_idx,
+                                   system.torsion_k, system.torsion_per,
+                                   system.torsion_phase)
+    return e1 + e2 + e3, f1 + f2 + f3

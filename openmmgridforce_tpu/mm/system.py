@@ -22,7 +22,7 @@ from ..ops.packed import (MultiPackedGrid, PackedGrid,
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
 from .constraints import ConstraintSet, constraints_from_bonds
-from .forcefield import bonded_energy
+from .forcefield import bonded_energy, bonded_energy_forces
 
 
 @jax.tree_util.register_dataclass
@@ -204,19 +204,16 @@ def energy_and_forces(system: System, grids: Sequence[GridBinding],
                       positions):
     """Total energy and forces.
 
-    Grid forces use the closed-form gradients (matching the reference
-    kernels' conventions exactly, including OOB restraints and inv-power
-    chain rules); bonded and pair terms use jax.grad of their energies.
+    All terms use closed-form gradients (each validated against jax.grad
+    of its energy): grid forces match the reference kernels' conventions
+    exactly (OOB restraints, inv-power chain rules); bonded and pair terms
+    use the analytic formulas in mm/forcefield.py and ops/pairwise.py.
     """
-    def smooth_energy(x):
-        e = bonded_energy(x, system)
-        if system.pairs is not None:
-            e = e + pair_energy_forces(system.pairs, x)[0]
-        return e
-
-    e_smooth, g = jax.value_and_grad(smooth_energy)(positions)
-    energy = e_smooth
-    forces = -g
+    energy, forces = bonded_energy_forces(positions, system)
+    if system.pairs is not None:
+        e_p, f_p = pair_energy_forces(system.pairs, positions)
+        energy = energy + e_p
+        forces = forces + f_p
     for gb in grids:
         res = _eval_grid(gb.grid, positions, gb.scaling)
         energy = energy + res.energy
