@@ -126,9 +126,13 @@ def main():
     system, bindings, states, grids_np = build_workload(dtype, accel,
                                                         n_replicas)
     value = time_steps(system, bindings, states, n_steps, accel)
+    n_atoms = states.positions.shape[-2]
+    n_grids = bindings[0].grid.num_grids
     log(f"TPU ensemble throughput: {value:,.1f} MD steps/s "
         f"x {n_replicas} replicas "
-        f"({value * n_replicas:,.0f} replica-steps/s)")
+        f"({value * n_replicas:,.0f} replica-steps/s; "
+        f"{value * n_replicas * n_atoms * n_grids / 1e6:,.1f}M grid "
+        f"atom-evals/s)")
 
     # reference-platform stand-in: single replica, CPU backend
     vs_baseline = None

@@ -355,3 +355,40 @@ def test_binary_netcdf_equivalence(tmp_path):
     np.testing.assert_allclose(g1.getGridValues(), g2.getGridValues(),
                                rtol=1e-12)
     assert g1.getGridParameters()[0] == g2.getGridParameters()[0]
+
+
+def test_bpmf_cli_grid_loading(tmp_path):
+    """The sampler CLI's grid-loading path (AlGDock NetCDF in Angstrom/kcal
+    with the reference's unit conversions, sampler.py:490-521)."""
+    import importlib.util
+    import sys
+
+    from openmmgridforce_tpu.io import write_netcdf
+    from openmmgridforce_tpu.ops.packed import evaluate_packed
+    from openmmgridforce_tpu.units import KCAL_TO_KJ
+
+    spec = importlib.util.spec_from_file_location(
+        "bpmf_sampler", "/root/repo/examples/bpmf_sampler.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    counts = (5, 5, 5)
+    vals_kcal = RNG.standard_normal(int(np.prod(counts)))
+    nc = str(tmp_path / "elec.nc")
+    # AlGDock NetCDF: spacing/origin in Angstrom, values kcal/mol
+    write_netcdf(nc, counts, (0.25, 0.25, 0.25), vals_kcal,
+                 origin=(1.0, 2.0, 3.0))
+
+    import jax.numpy as jnp
+    scaling = RNG.standard_normal(4)
+    binding = mod.get_grid_binding(nc, KCAL_TO_KJ, scaling, 0, jnp.float64)
+    g = binding.grid
+    assert g.counts == counts
+    np.testing.assert_allclose(np.asarray(g.spacing), 0.025)
+    np.testing.assert_allclose(np.asarray(g.origin), (0.1, 0.2, 0.3))
+    # value at a node equals the converted file value (probe the (1,1,1)
+    # node: the (0,0,0) corner sits on the boundary within float rounding)
+    node = np.asarray(g.origin) + np.asarray(g.spacing)
+    res = evaluate_packed(g, node[None, :], np.ones(1))
+    want = vals_kcal.reshape(counts)[1, 1, 1] * KCAL_TO_KJ
+    assert float(res.per_atom_energy[0]) == pytest.approx(want, rel=1e-9)
