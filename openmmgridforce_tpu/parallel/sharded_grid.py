@@ -38,21 +38,23 @@ from ..ops.packed import PackedGrid
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedPackedGrid:
-    """A PackedGrid whose coefficient rows are sharded over mesh axis sp.
+    """Packed (possibly multi-) grid coefficient rows sharded over sp.
 
     ``coeffs`` is the GLOBAL array (padded so x-cells divide the axis
     size), placed with NamedSharding(P("sp")); evaluation uses shard_map
-    and sees only the local slab.
+    and sees only the local slab. ``n_grids`` > 1 carries a fused
+    MultiPackedGrid (one gather serves all fused grids per atom).
     """
 
-    coeffs: jax.Array            # [ncells_padded, K], sharded over sp
+    coeffs: jax.Array            # [ncells_padded, K_row], sharded over sp
     spacing: jax.Array
     origin: jax.Array
     counts: tuple = dataclasses.field(default=(0, 0, 0),
                                       metadata=dict(static=True))
     degree: int = dataclasses.field(default=2, metadata=dict(static=True))
-    back_power: float = dataclasses.field(default=0.0,
-                                          metadata=dict(static=True))
+    n_grids: int = dataclasses.field(default=1, metadata=dict(static=True))
+    back_powers: tuple = dataclasses.field(default=(0.0,),
+                                           metadata=dict(static=True))
     oob_k: float = dataclasses.field(default=0.0,
                                      metadata=dict(static=True))
     ncx_padded: int = dataclasses.field(default=0,
@@ -64,14 +66,24 @@ class ShardedPackedGrid:
         return (nx - 1, ny - 1, nz - 1)
 
 
-def shard_packed_grid(packed: PackedGrid, mesh: Mesh,
+def shard_packed_grid(packed, mesh: Mesh,
                       axis: str = "sp") -> ShardedPackedGrid:
-    """Place a PackedGrid on the mesh, sharded along x-cells over ``axis``.
+    """Place a PackedGrid or MultiPackedGrid on the mesh, sharded along
+    x-cells over ``axis``.
 
     Pads the x-cell dimension to a multiple of the axis size with zero
     coefficient rows (padding cells are never addressed: cell indices are
     clamped to real cells before lookup).
     """
+    from ..ops.packed import MultiPackedGrid
+
+    if isinstance(packed, MultiPackedGrid):
+        n_grids = packed.n_grids
+        back_powers = packed.back_powers
+    else:
+        n_grids = 1
+        back_powers = (packed.back_power,)
+
     n_dev = mesh.shape[axis]
     ncx, ncy, ncz = packed.cell_counts
     K = packed.coeffs.shape[-1]
@@ -89,7 +101,8 @@ def shard_packed_grid(packed: PackedGrid, mesh: Mesh,
         origin=packed.origin,
         counts=packed.counts,
         degree=packed.degree,
-        back_power=packed.back_power,
+        n_grids=n_grids,
+        back_powers=back_powers,
         oob_k=packed.oob_k,
         ncx_padded=ncx_padded,
     )
@@ -98,11 +111,15 @@ def shard_packed_grid(packed: PackedGrid, mesh: Mesh,
 def _eval_local_slab(coeffs_local, positions, scaling, grid, axis):
     """Per-device evaluation: atoms in my x-slab contribute, others zero.
 
-    Runs inside shard_map; ends with psum over ``axis``.
+    Runs inside shard_map; ends with psum over ``axis``. Handles fused
+    multi-grids (G coefficient blocks per cell row, scaling [G, N]).
     """
     dtype = coeffs_local.dtype
     positions = positions.astype(dtype)
+    G = grid.n_grids
     scaling = scaling.astype(dtype)
+    if scaling.ndim == 1:
+        scaling = scaling[None, :]
 
     pos = positions - grid.origin
     counts = jnp.asarray(grid.counts, dtype=dtype)
@@ -122,9 +139,11 @@ def _eval_local_slab(coeffs_local, positions, scaling, grid, axis):
     in_slab = (local_x >= 0) & (local_x < slab) & inside
     lx = jnp.clip(local_x, 0, slab - 1)
     cell = (lx * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
-    rows = jnp.take(coeffs_local, cell, axis=0)
 
     d = grid.degree
+    K = d ** 3
+    rows = jnp.take(coeffs_local, cell, axis=0)[..., :G * K]
+    rows = rows.reshape(rows.shape[:-1] + (G, K))
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
 
     def powers(v):
@@ -138,34 +157,39 @@ def _eval_local_slab(coeffs_local, positions, scaling, grid, axis):
     px, py, pz = powers(fx), powers(fy), powers(fz)
     dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
     R = rows.reshape(rows.shape[:-1] + (d, d, d))
-    interp = jnp.einsum("...pqr,...p,...q,...r->...", R, px, py, pz)
-    gx = jnp.einsum("...pqr,...p,...q,...r->...", R, dpx, py, pz)
-    gy = jnp.einsum("...pqr,...p,...q,...r->...", R, px, dpy, pz)
-    gz = jnp.einsum("...pqr,...p,...q,...r->...", R, px, py, dpz)
-    grad_s = jnp.stack([gx, gy, gz], axis=-1)
+    interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
+    gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)
+    gy = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, dpy, pz)
+    gz = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, dpz)
+    grad_s = jnp.stack([gx, gy, gz], axis=-1)        # [..., G, 3]
 
-    if grid.back_power != 0.0:
-        n = grid.back_power
+    if any(bp != 0.0 for bp in grid.back_powers):
+        bps = jnp.asarray(grid.back_powers, dtype=dtype)
+        enabled = jnp.asarray([bp != 0.0 for bp in grid.back_powers])
         sign = jnp.where(interp >= 0.0, 1.0, -1.0)
         a = jnp.abs(interp)
-        act = a > 1e-10
+        act = (a > 1e-10) & enabled
         a_safe = jnp.where(act, a, 1.0)
-        pf = n * a_safe ** (n - 1.0)
-        interp = jnp.where(act, sign * a_safe ** n, interp)
-        grad_s = jnp.where(act[..., None], grad_s * pf[..., None], grad_s)
+        pf = jnp.where(act, bps * a_safe ** (bps - 1.0), 1.0)
+        interp = jnp.where(act, sign * a_safe ** bps, interp)
+        grad_s = grad_s * pf[..., None]
 
-    grad_phys = grad_s / grid.spacing
-    active = in_slab & (scaling != 0.0)
-    per_atom = jnp.where(active, scaling * interp, 0.0)
-    forces = jnp.where(active[..., None],
-                       -scaling[..., None] * grad_phys, 0.0)
+    grad_phys = grad_s / grid.spacing                # [..., G, 3]
+    # scaling [G, N] -> [..., G] aligned with the batch layout of interp
+    s_t = jnp.moveaxis(scaling, 0, -1)               # [N, G]
+    s_t = jnp.broadcast_to(s_t, interp.shape)
+    active = in_slab[..., None] & (s_t != 0.0)
+    per_atom = jnp.sum(jnp.where(active, s_t * interp, 0.0), axis=-1)
+    forces = -jnp.sum(jnp.where(active[..., None],
+                                s_t[..., None] * grad_phys, 0.0), axis=-2)
 
     # out-of-bounds restraint: computed once, on the first slab
     dev = jnp.where(pos < 0.0, pos,
                     jnp.where(pos > corner, pos - corner, 0.0))
-    oob_active = (~inside | (scaling == 0.0)) & (my == 0)
-    # matches single-device semantics: atoms inside with zero scaling give
-    # zero restraint because dev == 0 there
+    # equivalent to the single-device branch structure: inside atoms (with
+    # or without zero scaling) have dev == 0, so gating on ~inside alone
+    # reproduces evaluate_packed/evaluate_multi exactly
+    oob_active = ~inside & (my == 0)
     per_atom = per_atom + jnp.where(
         oob_active, 0.5 * grid.oob_k * jnp.sum(dev * dev, axis=-1), 0.0)
     forces = forces + jnp.where(oob_active[..., None],
@@ -194,7 +218,8 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
             origin=P(),
             counts=grid.counts,
             degree=grid.degree,
-            back_power=grid.back_power,
+            n_grids=grid.n_grids,
+            back_powers=grid.back_powers,
             oob_k=grid.oob_k,
             ncx_padded=grid.ncx_padded,
         )
@@ -211,3 +236,65 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
         return GridEval(jnp.sum(per_atom), forces, per_atom)
 
     return eval_fn
+
+
+def make_sharded_md_runner(mesh: Mesh, n_steps: int, dt: float,
+                           friction: float, dp_axis: str = "dp",
+                           sp_axis: str = "sp", unroll: int = 4):
+    """Jitted Langevin MD over a 2-D (dp x sp) mesh.
+
+    Replicas shard over ``dp_axis``; the fused grid shards spatially over
+    ``sp_axis`` (one psum per force evaluation). Intramolecular terms are
+    batch-parallel. Noise/key handling mirrors mm.make_md_runner's
+    per-replica scheme exactly, so single- and multi-chip trajectories
+    match bit-for-bit given the same keys.
+
+    Returns run(states, system, sharded_grid, scaling, temperatures):
+      states: batched MDState [R, ...] (dp-sharded);
+      sharded_grid: ShardedPackedGrid (or MultiPackedGrid sharded via
+        shard_packed_grid on its fused table);
+      scaling: per-atom (or [G, N]) scaling factors, replicated;
+      temperatures: [R] per-replica thermostat temperatures.
+    """
+    from ..mm.forcefield import bonded_energy_forces
+    from ..ops.pairwise import pair_energy_forces
+    from ..units import BOLTZ
+
+    grid_eval = make_sharded_grid_eval(mesh, axis=sp_axis,
+                                       extra_batch_specs=P(dp_axis))
+
+    def run(states, system, sharded_grid, scaling, temperatures):
+        masses = system.masses
+        inv_m = (1.0 / masses)[:, None]
+        a = jnp.exp(-friction * dt)
+        kT = (BOLTZ * jnp.asarray(temperatures))[:, None, None]  # [R,1,1]
+
+        def intra(x):
+            e, f = bonded_energy_forces(x, system)
+            if system.pairs is not None:
+                f = f + pair_energy_forces(system.pairs, x)[1]
+            return f
+
+        def step(state):
+            x, v, keys = state
+            split = jax.vmap(jax.random.split)(keys)
+            keys2, subs = split[:, 0], split[:, 1]
+            res = grid_eval(sharded_grid, x, scaling)
+            f = res.forces + jax.vmap(intra)(x)
+            noise = jax.vmap(
+                lambda k, shape=x.shape[1:]: jax.random.normal(
+                    k, shape, x.dtype))(subs)
+            v = (a * v + (1.0 - a) * f * inv_m / friction
+                 + jnp.sqrt(kT * (1.0 - a * a) * inv_m) * noise)
+            x = x + v * dt
+            from ..mm.integrators import MDState
+            return MDState(x, v, keys2)
+
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, states, None, length=n_steps,
+                              unroll=min(unroll, max(n_steps, 1)))
+        return out
+
+    return jax.jit(run)

@@ -65,3 +65,78 @@ def test_sharded_memory_is_distributed(mesh):
     total = sharded.coeffs.shape[0]
     for s in shards:
         assert s.data.shape[0] == total // 8
+
+
+def test_sharded_md_runner_matches_single_device():
+    """Full dp x sp MD segment == single-device make_md_runner, same keys."""
+    from openmmgridforce_tpu.mm import make_md_runner
+    from openmmgridforce_tpu.mm.integrators import MDState
+    from openmmgridforce_tpu.mm.system import GridBinding, System
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+    from openmmgridforce_tpu.ops.pairwise import build_pair_table
+    from openmmgridforce_tpu.parallel.sharded_grid import (
+        make_sharded_md_runner, shard_packed_grid)
+    from jax.sharding import NamedSharding
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "sp"))
+
+    rng = np.random.default_rng(8)
+    counts = (13, 9, 9)
+    vals = rng.standard_normal(counts)
+    grid = Grid.create(vals, (0.1, 0.1, 0.1), (0.0, 0.0, 0.0),
+                       interp_method=InterpolationMethod.BSPLINE,
+                       dtype=np.float64)
+    packed = pack_grid(grid)
+    multi = combine_packed_grids([packed])
+    sharded = shard_packed_grid(multi, mesh2, axis="sp")
+
+    n_atoms, R = 6, 8
+    charges = rng.uniform(-0.3, 0.3, n_atoms)
+    system = System(
+        masses=jnp.full((n_atoms,), 12.0),
+        charges=jnp.asarray(charges),
+        sigmas=jnp.full((n_atoms,), 0.25),
+        epsilons=jnp.full((n_atoms,), 0.4),
+        bond_idx=jnp.asarray([[i, i + 1] for i in range(n_atoms - 1)],
+                             jnp.int32),
+        bond_k=jnp.full((n_atoms - 1,), 5e4),
+        bond_r0=jnp.full((n_atoms - 1,), 0.15),
+        angle_idx=jnp.zeros((0, 3), jnp.int32),
+        angle_k=jnp.zeros(0), angle_t0=jnp.zeros(0),
+        torsion_idx=jnp.zeros((0, 4), jnp.int32),
+        torsion_k=jnp.zeros(0), torsion_per=jnp.zeros(0),
+        torsion_phase=jnp.zeros(0),
+        pairs=build_pair_table(charges, np.full(n_atoms, 0.25),
+                               np.full(n_atoms, 0.4),
+                               exclusions=[(i, i + 1)
+                                           for i in range(n_atoms - 1)]),
+    )
+    scaling = jnp.asarray(charges)[None, :]  # [G=1, N]
+
+    x0 = jnp.asarray(0.45 + 0.12 * np.arange(n_atoms)[:, None]
+                     * np.array([[1.0, 0.2, 0.1]])
+                     + rng.uniform(-0.01, 0.01, (n_atoms, 3)))
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(R))
+    states = MDState(jnp.broadcast_to(x0, (R, n_atoms, 3)),
+                     jnp.zeros((R, n_atoms, 3)), keys)
+    temps = jnp.full((R,), 300.0)
+
+    # single-device reference
+    run_ref = make_md_runner(20, dt=0.0005, friction=2.0)
+    ref = run_ref(states, system, [GridBinding(grid=multi,
+                                               scaling=scaling)], temps)
+
+    # sharded
+    run_sh = make_sharded_md_runner(mesh2, 20, dt=0.0005, friction=2.0)
+    dp_spec = NamedSharding(mesh2, P("dp"))
+    states_sh = jax.tree.map(lambda x: jax.device_put(x, dp_spec), states)
+    with mesh2:
+        got = run_sh(states_sh, system, sharded, scaling, temps)
+
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(ref.positions), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.velocities),
+                               np.asarray(ref.velocities), rtol=1e-10,
+                               atol=1e-12)
