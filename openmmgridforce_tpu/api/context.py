@@ -27,7 +27,7 @@ import numpy as np
 from ..grid import Grid
 from ..mm.amber import AmberTopology, load_prmtop
 from ..mm.forcefield import (angle_energy, bond_energy, torsion_energy)
-from ..mm.integrators import (MDState, initialize_state, make_langevin_step,
+from ..mm.integrators import (MDState, make_langevin_step,
                               make_verlet_step, run_segment)
 from ..ops.gridgen import auto_scaling_factors, generate_grid
 from ..ops.interpolate import evaluate_grid

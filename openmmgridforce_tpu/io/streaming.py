@@ -13,9 +13,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..grid import Grid, InterpolationMethod, InvPowerMode
+from ..grid import Grid, InterpolationMethod
 from ..ops.interpolate import evaluate_grid
-from ..units import DEFAULT_GRID_CAP, DEFAULT_OOB_K
+from ..units import DEFAULT_OOB_K
 from .native import NativeTileStream
 
 # stencil halo (grid points) needed on each side per method

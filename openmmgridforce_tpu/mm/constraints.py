@@ -15,7 +15,6 @@ RATTLE removes relative velocity along the constrained bonds.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ preferred for configurational sampling at large time steps.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

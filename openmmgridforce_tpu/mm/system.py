@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grid import Grid
 from ..ops.interpolate import evaluate_grid
 from ..ops.packed import (MultiPackedGrid, PackedGrid,
                           evaluate_multi, evaluate_packed)

@@ -22,11 +22,9 @@ Two concrete transforms are provided, matching the reference semantics:
 from __future__ import annotations
 
 import functools
-import itertools
 from collections import Counter
 
 import jax.numpy as jnp
-import numpy as np
 
 from .derivatives27 import DERIV_ORDERS, ORDER_TO_INDEX, N_DERIVS
 

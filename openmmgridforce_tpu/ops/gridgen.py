@@ -33,8 +33,7 @@ import numpy as np
 from ..grid import Grid, InterpolationMethod, InvPowerMode
 from ..units import DEFAULT_GRID_CAP, DEFAULT_OOB_K
 from . import radial
-from .chain_rules import (apply_invpower, apply_tanh_cap, invpower_value,
-                          tanh_cap_value)
+from .chain_rules import apply_invpower, apply_tanh_cap, tanh_cap_value
 from .derivatives27 import DERIV_ORDERS
 
 _R_MIN_VALUES = 1e-6      # nm      (gridGeneration.cu:270)

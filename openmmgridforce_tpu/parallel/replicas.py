@@ -9,7 +9,7 @@ replicated (they are small); positions/velocities/keys are sharded.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -24,15 +24,12 @@ fits on a v5e-8 slice that could never hold it on one chip).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.interpolate import GridEval
-from ..ops.packed import PackedGrid
 
 
 @jax.tree_util.register_dataclass
