@@ -125,6 +125,39 @@ class Sampler:
         _energy1 = jax.jit(single_energy)
         self._energy1 = lambda x: _energy1(x, self.system, self.grids)
 
+        # on-device exchange sweep: n Metropolis attempts on a replica
+        # permutation in ONE dispatch (the host loop costs a ~31 ms round
+        # trip per attempt on tunneled TPUs)
+        betas = jnp.asarray(self.betas)
+
+        def exchange_sweep(positions, energies, key, n_attempts: int):
+            R = positions.shape[0]
+
+            def body(carry, _):
+                perm, key, acc_count = carry
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                i = jax.random.randint(k1, (), 0, R)
+                j = jax.random.randint(k2, (), 0, R)
+                j = jnp.where(i == j,
+                              jnp.where(i + 1 < R, i + 1, i - 1), j)
+                e_i = energies[perm[i]]
+                e_j = energies[perm[j]]
+                log_ratio = (betas[i] - betas[j]) * (e_i - e_j)
+                accept = ((log_ratio >= 0)
+                          | (jax.random.uniform(k3) < jnp.exp(log_ratio)))
+                pi, pj = perm[i], perm[j]
+                perm = perm.at[i].set(jnp.where(accept, pj, pi))
+                perm = perm.at[j].set(jnp.where(accept, pi, pj))
+                return (perm, key, acc_count + accept.astype(jnp.int32)),                     None
+
+            perm0 = jnp.arange(R)
+            (perm, _, n_acc), _ = jax.lax.scan(
+                body, (perm0, key, jnp.int32(0)), None, length=n_attempts)
+            return positions[perm], n_acc
+
+        self._exchange_sweep = jax.jit(exchange_sweep,
+                                       static_argnums=3)
+
         # MC statistics
         self.n_exchange_accepted = 0
         self.n_exchange_attempted = 0
@@ -166,6 +199,18 @@ class Sampler:
             self.states = self.states._replace(
                 positions=jnp.asarray(pos))
         return int(accept)
+
+    def replica_exchange_sweep(self, n_attempts: int) -> int:
+        """n Metropolis exchange attempts in one on-device dispatch
+        (same selection rule as replica_exchange; jax RNG)."""
+        energies = self._energies(self.states.positions)
+        new_pos, n_acc = self._exchange_sweep(
+            self.states.positions, energies, self._next_key(), n_attempts)
+        self.states = self.states._replace(positions=new_pos)
+        self.n_exchange_attempted += n_attempts
+        n_acc = int(n_acc)
+        self.n_exchange_accepted += n_acc
+        return n_acc
 
     # ------------------------------------------------------------------
     def _pick_low_high(self):
@@ -218,8 +263,8 @@ class Sampler:
             callback=None):
         """Production loop mirroring sampler.py:554-593."""
         for trial in range(n_trials):
-            for _ in range(n_exchange_per_trial):
-                self.replica_exchange()
+            if n_exchange_per_trial > 0:
+                self.replica_exchange_sweep(n_exchange_per_trial)
             for _ in range(n_gmc_per_trial):
                 self.genetic_crossover()
                 self.genetic_mutation()

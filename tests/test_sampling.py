@@ -96,3 +96,15 @@ def test_exchange_detailed_balance_acceptance(ligand):
     sampler = Sampler(system, [], jnp.asarray(crd), config)
     for _ in range(5):
         assert sampler.replica_exchange() == 1
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_exchange_sweep_all_accept_identical(ligand):
+    """Identical replicas -> every sweep attempt accepts (log_ratio = 0)."""
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=5, t_high=500.0, t_min=300.0)
+    sampler = Sampler(system, [], jnp.asarray(crd), config)
+    n = sampler.replica_exchange_sweep(10)
+    assert n == 10
+    assert sampler.n_exchange_attempted == 10
