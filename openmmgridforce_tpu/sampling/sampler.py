@@ -175,7 +175,7 @@ class Sampler:
         self.states = self._segment(self.states, int(n))
 
     def potential_energies(self) -> np.ndarray:
-        return np.asarray(self._energies(self.states.positions))
+        return np.array(self._energies(self.states.positions))
 
     # ------------------------------------------------------------------
     def replica_exchange(self) -> int:
@@ -220,12 +220,13 @@ class Sampler:
             jsel = isel + 1 if isel + 1 < n else isel - 1
         return (isel, jsel) if isel < jsel else (jsel, isel)
 
-    def _genetic_trial(self, splice: bool) -> int:
+    def _genetic_trial(self, splice: bool, energies=None) -> int:
         if self._zmatrix is None:
             raise RuntimeError("genetic MC needs bonds= at construction")
         isel, jsel = self._pick_low_high()
         pos = np.array(self.states.positions)
-        energies = self.potential_energies()
+        if energies is None:
+            energies = self.potential_energies()
 
         bat_i = bat.xyz_to_bat(pos[isel], self._zmatrix, self._primary)
         bat_j = bat.xyz_to_bat(pos[jsel], self._zmatrix, self._primary)
@@ -248,14 +249,15 @@ class Sampler:
         if accept:
             self.n_gmc_accepted += 1
             pos[isel] = new_xyz
+            energies[isel] = e_new
             self.states = self.states._replace(positions=jnp.asarray(pos))
         return int(accept)
 
-    def genetic_mutation(self) -> int:
-        return self._genetic_trial(splice=False)
+    def genetic_mutation(self, energies=None) -> int:
+        return self._genetic_trial(splice=False, energies=energies)
 
-    def genetic_crossover(self) -> int:
-        return self._genetic_trial(splice=True)
+    def genetic_crossover(self, energies=None) -> int:
+        return self._genetic_trial(splice=True, energies=energies)
 
     # ------------------------------------------------------------------
     def run(self, n_trials: int, n_exchange_per_trial: int = 5,
@@ -265,9 +267,11 @@ class Sampler:
         for trial in range(n_trials):
             if n_exchange_per_trial > 0:
                 self.replica_exchange_sweep(n_exchange_per_trial)
-            for _ in range(n_gmc_per_trial):
-                self.genetic_crossover()
-                self.genetic_mutation()
+            if n_gmc_per_trial > 0:
+                energies = self.potential_energies()
+                for _ in range(n_gmc_per_trial):
+                    self.genetic_crossover(energies)
+                    self.genetic_mutation(energies)
             self.run_md(md_steps)
             if callback is not None:
                 callback(trial, self)
