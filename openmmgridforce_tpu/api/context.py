@@ -551,22 +551,30 @@ class Simulation:
     def step(self, n):
         self.integrator.step(n)
 
-    def minimizeEnergy(self, maxIterations=100, tolerance=10.0):
-        """Simple gradient descent with backtracking (placeholder for LBFGS)."""
-        x = self._ctx_positions()
+    def minimizeEnergy(self, maxIterations=200, tolerance=10.0):
+        """L-BFGS energy minimization (optax), mirroring OpenMM's
+        LocalEnergyMinimizer role. ``tolerance`` is the RMS force target
+        in kJ/mol/nm."""
+        import optax
+
         ctx = self.context
-        e, f = ctx._group_mask_terms(x, None)
-        lr = 1e-5
+        x = ctx._positions
+
+        @jax.jit
+        def energy(p):
+            return ctx._group_mask_terms(p, None)[0]
+
+        opt = optax.lbfgs()
+        state = opt.init(x)
+        value_and_grad = jax.jit(jax.value_and_grad(energy))
         for _ in range(maxIterations):
-            x_new = x + lr * f
-            e_new, f_new = ctx._group_mask_terms(x_new, None)
-            if float(e_new) < float(e):
-                x, e, f = x_new, e_new, f_new
-                lr *= 1.2
-            else:
-                lr *= 0.5
-                if lr < 1e-12:
-                    break
+            e, g = value_and_grad(x)
+            rms = float(jnp.sqrt(jnp.mean(g * g)))
+            if rms < tolerance:
+                break
+            updates, state = opt.update(
+                g, state, x, value=e, grad=g, value_fn=energy)
+            x = optax.apply_updates(x, updates)
         ctx._positions = x
 
     def _ctx_positions(self):

@@ -392,3 +392,21 @@ def test_bpmf_cli_grid_loading(tmp_path):
     res = evaluate_packed(g, node[None, :], np.ones(1))
     want = vals_kcal.reshape(counts)[1, 1, 1] * KCAL_TO_KJ
     assert float(res.per_atom_energy[0]) == pytest.approx(want, rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_minimize_energy():
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    system = gfp.create_system(lig)
+    sim = gfp.Simulation(lig, system, gfp.VerletIntegrator(0.001))
+    # perturb the crystal pose, then minimize back down
+    pert = crd + RNG.normal(0.0, 0.004, crd.shape)
+    sim.context.setPositions(pert)
+    e0 = sim.context.getState(getEnergy=True).getPotentialEnergy()
+    sim.minimizeEnergy(maxIterations=150, tolerance=20.0)
+    e1 = sim.context.getState(getEnergy=True).getPotentialEnergy()
+    assert e1 < e0
+    st = sim.context.getState(getEnergy=True, getForces=True)
+    rms = float(np.sqrt((np.asarray(st.getForces()) ** 2).mean()))
+    assert rms < 100.0  # near a local minimum
