@@ -161,3 +161,44 @@ def kinetic_energy(state: MDState, masses):
 def instantaneous_temperature(state: MDState, masses):
     n_dof = 3 * state.positions.shape[-2]
     return 2.0 * kinetic_energy(state, masses) / (n_dof * BOLTZ)
+
+
+def make_respa_langevin_step(slow_force_fn: Callable,
+                             fast_force_fn: Callable, masses, dt_outer,
+                             n_inner: int, friction, temperature,
+                             constraints=None):
+    """Multiple-timestep (r-RESPA) Langevin step.
+
+    Slow forces (grid interactions — smooth, expensive gathers) kick at
+    ``dt_outer``; fast forces (stiff bonded/intramolecular terms)
+    integrate with classic Langevin at ``dt_outer / n_inner``. Impulse
+    (Trotter) splitting:
+
+        v += dt/2 * F_slow / m
+        n_inner x { classic Langevin step with F_fast at dt/n }
+        v += dt/2 * F_slow / m
+
+    Halves-to-quarters the grid-gather cost per unit simulated time while
+    resolving bond vibrations at the small step. Not part of the
+    reference's feature set; validated in tests/test_respa.py.
+    """
+    masses = jnp.asarray(masses)
+    inv_m = (1.0 / masses)[:, None]
+    inner = make_langevin_step(fast_force_fn, masses, dt_outer / n_inner,
+                               friction, temperature,
+                               constraints=constraints)
+
+    def step(state: MDState) -> MDState:
+        x, v, key = state
+        f_slow = slow_force_fn(x)
+        v = v + 0.5 * dt_outer * f_slow * inv_m
+        s = MDState(x, v, key)
+        s = run_segment(inner, s, n_inner, unroll=n_inner)
+        f_slow2 = slow_force_fn(s.positions)
+        v = s.velocities + 0.5 * dt_outer * f_slow2 * inv_m
+        if constraints is not None:
+            from .constraints import apply_rattle
+            v = apply_rattle(constraints, s.positions, v)
+        return MDState(s.positions, v, s.key)
+
+    return step
