@@ -461,8 +461,7 @@ class Context:
     def getState(self, getPositions=False, getVelocities=False,
                  getEnergy=False, getForces=False, groups=None, **_ignored):
         st = State(
-            positions=(np.asarray(self._positions)
-                       if getPositions or True else None),
+            positions=np.asarray(self._positions),
             velocities=(np.asarray(self._velocities)
                         if self._velocities is not None else None),
         )

@@ -296,6 +296,7 @@ def generate_grid_to_tiled_file(path,
                                 inv_power: float = 0.0,
                                 inv_power_mode: InvPowerMode =
                                 InvPowerMode.NONE,
+                                backend: str = "jnp",
                                 dtype=jnp.float32,
                                 progress=None) -> None:
     """Generate a grid directly into an OMGTILE file, tile by tile.
@@ -365,6 +366,18 @@ def generate_grid_to_tiled_file(path,
                         vals = D[..., 0]
                         derivs = np.moveaxis(D, -1, 0)
                         writer.write_tile(tx, ty, tz, vals, derivs)
+                    elif backend == "pallas" and inv_power == 0.0:
+                        from .pallas_gridgen import (
+                            generate_grid_values_pallas)
+                        tile_org = tuple(
+                            float(o) + int(st) * float(sp)
+                            for o, st, sp in zip(origin, (x0, y0, z0),
+                                                 spacing))
+                        v = generate_grid_values_pallas(
+                            shape, spacing, tile_org, grid_type,
+                            receptor_positions, charges, sigmas, epsilons,
+                            grid_cap)
+                        writer.write_tile(tx, ty, tz, np.asarray(v))
                     else:
                         writer.write_tile(tx, ty, tz,
                                           np.asarray(tile_values(start,

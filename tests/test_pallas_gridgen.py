@@ -108,3 +108,39 @@ def test_pallas_deriv_backend_end_to_end():
     d2 = np.asarray(got.derivs)
     scale = np.abs(d1).max(axis=(0, 1, 2)) + 1e-30
     assert (np.abs(d2 - d1) / scale).max() < 5e-5
+
+
+def test_tiled_generation_pallas_backend(tmp_path):
+    """generate_grid_to_tiled_file(backend='pallas') == jnp backend."""
+    from unittest import mock
+
+    import openmmgridforce_tpu.ops.pallas_gridgen as pg
+    from openmmgridforce_tpu.io import TiledGridReader
+
+    counts = (10, 9, 8)
+    spacing = (0.1,) * 3
+    origin = (0.0,) * 3
+    A = 9
+    pos = RNG.uniform(-0.2, 1.0, (A, 3))
+    q = RNG.uniform(-0.5, 0.5, A)
+    sig = RNG.uniform(0.25, 0.35, A)
+    eps = RNG.uniform(0.2, 0.8, A)
+
+    p_ref = str(tmp_path / "jnp.tiled")
+    gridgen.generate_grid_to_tiled_file(
+        p_ref, counts, spacing, origin, "charge", pos, q, sig, eps,
+        tile_size=4)
+
+    p_got = str(tmp_path / "pallas.tiled")
+    orig = pg.generate_grid_values_pallas
+    with mock.patch.object(
+            pg, "generate_grid_values_pallas",
+            lambda *a, **k: orig(*a, interpret=True, **k)):
+        gridgen.generate_grid_to_tiled_file(
+            p_got, counts, spacing, origin, "charge", pos, q, sig, eps,
+            tile_size=4, backend="pallas")
+
+    with TiledGridReader(p_ref) as r1, TiledGridReader(p_got) as r2:
+        v1, _ = r1.read_full()
+        v2, _ = r2.read_full()
+    np.testing.assert_allclose(v2, v1, rtol=1e-5, atol=1e-5)
