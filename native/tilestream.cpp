@@ -268,7 +268,9 @@ int omg_read_region(void* handle, int64_t x0, int64_t y0, int64_t z0,
         for (int64_t iy = 0; iy < ny; iy++) {
             int64_t gy = std::min(std::max(y0 + iy, (int64_t)0), NY - 1);
             int ty = (int)(gy / T);
-            // z runs are contiguous within one tile; walk tile-by-tile
+            // z runs are contiguous within one tile; walk tile-by-tile.
+            // Clamped segments (z outside the grid) replicate one boundary
+            // element across the whole segment with a single fetch.
             int64_t iz = 0;
             while (iz < nz) {
                 int64_t gz = std::min(std::max(z0 + iz, (int64_t)0),
@@ -279,19 +281,27 @@ int omg_read_region(void* handle, int64_t x0, int64_t y0, int64_t z0,
                 int64_t lx = gx - (int64_t)tx * T;
                 int64_t ly = gy - (int64_t)ty * T;
                 int64_t lz = gz - (int64_t)tz * T;
-                // length of this z run staying inside tile tz (and
-                // handling clamped coordinates one at a time at edges)
-                int64_t run = 1;
-                if (z0 + iz >= 0 && z0 + iz < NZ) {
+                int64_t run, fill;  // run = copied elems, fill = replicated
+                if (z0 + iz < 0) {
+                    run = 1;
+                    fill = std::min(-(z0 + iz), nz - iz);
+                } else if (z0 + iz >= NZ) {
+                    run = 1;
+                    fill = nz - iz;
+                } else {
                     int64_t tile_end = std::min((int64_t)(tz + 1) * T, NZ);
-                    int64_t want = nz - iz;
-                    int64_t until_clamp = NZ - (z0 + iz);
-                    run = std::min({tile_end - gz, want, until_clamp});
+                    run = std::min({tile_end - gz, nz - iz,
+                                    NZ - (z0 + iz)});
+                    fill = run;
                 }
                 const float* src =
                     t->values.data() + (lx * t->sy + ly) * t->sz + lz;
                 float* dst = values_out + (ix * ny + iy) * nz + iz;
-                memcpy(dst, src, run * sizeof(float));
+                if (run == 1 && fill > 1) {
+                    std::fill(dst, dst + fill, src[0]);
+                } else {
+                    memcpy(dst, src, run * sizeof(float));
+                }
                 if (derivs_out && ts->has_derivs) {
                     size_t tn = (size_t)t->sx * t->sy * t->sz;
                     for (int d = 0; d < kDiv; d++) {
@@ -299,10 +309,14 @@ int omg_read_region(void* handle, int64_t x0, int64_t y0, int64_t z0,
                                             (lx * t->sy + ly) * t->sz + lz;
                         float* ddst = derivs_out + d * region +
                                       (ix * ny + iy) * nz + iz;
-                        memcpy(ddst, dsrc, run * sizeof(float));
+                        if (run == 1 && fill > 1) {
+                            std::fill(ddst, ddst + fill, dsrc[0]);
+                        } else {
+                            memcpy(ddst, dsrc, run * sizeof(float));
+                        }
                     }
                 }
-                iz += run;
+                iz += fill;
             }
         }
     }

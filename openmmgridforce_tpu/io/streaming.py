@@ -36,7 +36,10 @@ class StreamedGridEvaluator:
                  oob_k: float = DEFAULT_OOB_K):
         self.stream = NativeTileStream(path, budget_bytes)
         self.interp_method = int(interp_method)
-        self.region_shape = tuple(int(r) for r in region_shape)
+        # never read beyond the grid: clamp the region per axis
+        self.region_shape = tuple(
+            min(int(r), int(c))
+            for r, c in zip(region_shape, self.stream.counts))
         self.oob_k = oob_k
         self.inv_power_mode = (self.stream.inv_power_mode
                                if inv_power_mode is None
