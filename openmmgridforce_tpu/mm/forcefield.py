@@ -8,6 +8,14 @@ Vectorized jnp implementations with OpenMM conventions:
 These supply the intra-ligand forces that OpenMM's own runtime provided in
 the reference setup (the plugin only added the grid force; see SURVEY
 section 1 note on host runtime).
+
+Force assembly is scatter-free: per-term force contributions are applied
+to atoms through a one-hot contraction (``assemble_forces``) instead of
+``.at[].add`` scatters. On TPU a scatter lowers to a serialized
+per-update loop, while the one-hot contraction is a single [N,K]x[K,3]
+matmul the MXU executes in microseconds — and under ``vmap`` over
+replicas it stays ONE batched matmul with a shared, unbatched one-hot
+matrix.
 """
 
 from __future__ import annotations
@@ -67,25 +75,31 @@ def bonded_energy(positions, system):
 # used as the test oracle, see tests/test_forcefield_forces.py)
 # ----------------------------------------------------------------------
 
-def bond_energy_forces(positions, idx, k, r0):
-    if idx.shape[0] == 0:
-        z = jnp.zeros_like(positions)
-        return jnp.zeros((), positions.dtype), z
+def assemble_forces(n_atoms, atom_ids, contribs):
+    """Scatter-free force assembly: forces[n] = sum_k [ids[k]==n] c[k].
+
+    ``atom_ids`` [K] int32, ``contribs`` [K, 3]. The one-hot matrix is a
+    function of the (unbatched) topology only, so under vmap this is one
+    shared-operand batched matmul on the MXU instead of R serialized
+    scatter loops.
+    """
+    onehot = (atom_ids[:, None]
+              == jnp.arange(n_atoms, dtype=atom_ids.dtype)[None, :])
+    return jnp.einsum("kn,kc->nc", onehot.astype(contribs.dtype), contribs)
+
+
+def _bond_contribs(positions, idx, k, r0):
     d = positions[idx[:, 0]] - positions[idx[:, 1]]
     r = jnp.sqrt(jnp.sum(d * d, axis=-1))
     dr = r - r0
     e = jnp.sum(0.5 * k * dr * dr)
     f_pair = (-k * dr / r)[:, None] * d          # force on atom i
-    forces = jnp.zeros_like(positions)
-    forces = forces.at[idx[:, 0]].add(f_pair)
-    forces = forces.at[idx[:, 1]].add(-f_pair)
-    return e, forces
+    ids = jnp.concatenate([idx[:, 0], idx[:, 1]])
+    contribs = jnp.concatenate([f_pair, -f_pair])
+    return e, ids, contribs
 
 
-def angle_energy_forces(positions, idx, k, t0):
-    if idx.shape[0] == 0:
-        z = jnp.zeros_like(positions)
-        return jnp.zeros((), positions.dtype), z
+def _angle_contribs(positions, idx, k, t0):
     a = positions[idx[:, 0]] - positions[idx[:, 1]]
     b = positions[idx[:, 2]] - positions[idx[:, 1]]
     na = jnp.sqrt(jnp.sum(a * a, axis=-1))
@@ -101,17 +115,12 @@ def angle_energy_forces(positions, idx, k, t0):
     coef = (k * (theta - t0) / sin_t)[:, None]
     gi = coef * (bh - cos_t[:, None] * ah) / na[:, None] * -1.0
     gk = coef * (ah - cos_t[:, None] * bh) / nb[:, None] * -1.0
-    forces = jnp.zeros_like(positions)
-    forces = forces.at[idx[:, 0]].add(-gi)
-    forces = forces.at[idx[:, 2]].add(-gk)
-    forces = forces.at[idx[:, 1]].add(gi + gk)
-    return e, forces
+    ids = jnp.concatenate([idx[:, 0], idx[:, 2], idx[:, 1]])
+    contribs = jnp.concatenate([-gi, -gk, gi + gk])
+    return e, ids, contribs
 
 
-def torsion_energy_forces(positions, idx, k, periodicity, phase):
-    if idx.shape[0] == 0:
-        z = jnp.zeros_like(positions)
-        return jnp.zeros((), positions.dtype), z
+def _torsion_contribs(positions, idx, k, periodicity, phase):
     p0, p1, p2, p3 = (positions[idx[:, i]] for i in range(4))
     b1 = p1 - p0
     b2 = p2 - p1
@@ -137,22 +146,62 @@ def torsion_energy_forces(positions, idx, k, periodicity, phase):
     dphi_dp1 = -(1.0 + c12) * dphi_dp0 + c32 * dphi_dp3
     dphi_dp2 = -dphi_dp0 - dphi_dp1 - dphi_dp3  # translation invariance
 
-    forces = jnp.zeros_like(positions)
     de = de_dphi[:, None]
-    forces = forces.at[idx[:, 0]].add(-de * dphi_dp0)
-    forces = forces.at[idx[:, 1]].add(-de * dphi_dp1)
-    forces = forces.at[idx[:, 2]].add(-de * dphi_dp2)
-    forces = forces.at[idx[:, 3]].add(-de * dphi_dp3)
-    return e, forces
+    ids = jnp.concatenate([idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]])
+    contribs = jnp.concatenate([-de * dphi_dp0, -de * dphi_dp1,
+                                -de * dphi_dp2, -de * dphi_dp3])
+    return e, ids, contribs
+
+
+def bond_energy_forces(positions, idx, k, r0):
+    if idx.shape[0] == 0:
+        return jnp.zeros((), positions.dtype), jnp.zeros_like(positions)
+    e, ids, contribs = _bond_contribs(positions, idx, k, r0)
+    return e, assemble_forces(positions.shape[0], ids, contribs)
+
+
+def angle_energy_forces(positions, idx, k, t0):
+    if idx.shape[0] == 0:
+        return jnp.zeros((), positions.dtype), jnp.zeros_like(positions)
+    e, ids, contribs = _angle_contribs(positions, idx, k, t0)
+    return e, assemble_forces(positions.shape[0], ids, contribs)
+
+
+def torsion_energy_forces(positions, idx, k, periodicity, phase):
+    if idx.shape[0] == 0:
+        return jnp.zeros((), positions.dtype), jnp.zeros_like(positions)
+    e, ids, contribs = _torsion_contribs(positions, idx, k, periodicity,
+                                         phase)
+    return e, assemble_forces(positions.shape[0], ids, contribs)
 
 
 def bonded_energy_forces(positions, system):
-    """Closed-form energy and forces of all bonded terms."""
-    e1, f1 = bond_energy_forces(positions, system.bond_idx, system.bond_k,
-                                system.bond_r0)
-    e2, f2 = angle_energy_forces(positions, system.angle_idx,
-                                 system.angle_k, system.angle_t0)
-    e3, f3 = torsion_energy_forces(positions, system.torsion_idx,
-                                   system.torsion_k, system.torsion_per,
-                                   system.torsion_phase)
-    return e1 + e2 + e3, f1 + f2 + f3
+    """Closed-form energy and forces of all bonded terms.
+
+    All per-term contributions are concatenated and assembled with a
+    single one-hot contraction (one matmul for the whole bonded force)."""
+    energy = jnp.zeros((), positions.dtype)
+    ids_list, contrib_list = [], []
+    if system.bond_idx.shape[0]:
+        e, ids, c = _bond_contribs(positions, system.bond_idx,
+                                   system.bond_k, system.bond_r0)
+        energy, ids_list, contrib_list = energy + e, [ids], [c]
+    if system.angle_idx.shape[0]:
+        e, ids, c = _angle_contribs(positions, system.angle_idx,
+                                    system.angle_k, system.angle_t0)
+        energy = energy + e
+        ids_list.append(ids)
+        contrib_list.append(c)
+    if system.torsion_idx.shape[0]:
+        e, ids, c = _torsion_contribs(positions, system.torsion_idx,
+                                      system.torsion_k, system.torsion_per,
+                                      system.torsion_phase)
+        energy = energy + e
+        ids_list.append(ids)
+        contrib_list.append(c)
+    if not ids_list:
+        return energy, jnp.zeros_like(positions)
+    forces = assemble_forces(positions.shape[0],
+                             jnp.concatenate(ids_list),
+                             jnp.concatenate(contrib_list))
+    return energy, forces
