@@ -14,6 +14,28 @@ import os
 _enabled = False
 
 
+def _host_tag() -> str:
+    """Fingerprint of the host CPU feature set.
+
+    XLA:CPU cache entries embed AOT machine code for the compiling host's
+    exact feature flags; replaying them on a different machine logs
+    SIGILL-risk warnings (cpu_aot_loader.cc). Scoping the cache directory
+    by a hash of /proc/cpuinfo's flags keeps TPU entries shared where it
+    matters while isolating CPU artifacts per machine type."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled or os.environ.get("OMGF_NO_COMPILE_CACHE"):
@@ -23,7 +45,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = (path
             or os.environ.get("OMGF_COMPILE_CACHE_DIR")
             or os.path.join(os.path.expanduser("~"), ".cache",
-                            "openmmgridforce_tpu", "jax"))
+                            "openmmgridforce_tpu", "jax", _host_tag()))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
