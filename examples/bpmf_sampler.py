@@ -62,8 +62,13 @@ def generate_grids(cfg, lig_crd, margin, spacing, dtype):
     from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
     from openmmgridforce_tpu.ops import gridgen
 
-    rec = load_prmtop(cfg["dir"]["receptor_prmtop"])
-    rec_crd = load_inpcrd(cfg["dir"]["receptor_inpcrd"])
+    paths = cfg.get("dir", {})
+    for k in ("receptor_prmtop", "receptor_inpcrd"):
+        if k not in paths:
+            raise SystemExit(f"input.json: --generate-grids needs '{k}' "
+                             "under 'dir'")
+    rec = load_prmtop(paths["receptor_prmtop"])
+    rec_crd = load_inpcrd(paths["receptor_inpcrd"])
     lo = lig_crd.min(0) - margin
     counts = tuple(int(c) + 1 for c in
                    np.ceil((lig_crd.max(0) + margin - lo) / spacing))
@@ -106,12 +111,22 @@ def main():
     from openmmgridforce_tpu.utils import (StateDataReporter, save_sampler,
                                            write_xyz_frame)
 
-    run_job = cfg["run_job"]
-    job = cfg[run_job]
+    def require(d, key, where):
+        if key not in d:
+            raise SystemExit(
+                f"input.json: missing key '{key}' in {where} (reference "
+                "schema: run_job/nstate/ntrial_repX/ntrial_gMC/nstep_MD at "
+                "the top level; T_HIGH/T_SIMMIN/H_mass/delta_t inside the "
+                "job section named by run_job; file paths under 'dir')")
+        return d[key]
+
+    run_job = require(cfg, "run_job", "the top level")
+    job = require(cfg, run_job, "the top level (the job section)")
     dtype = jnp.float32
 
-    lig = load_prmtop(cfg["dir"]["ligand_prmtop"])
-    lig_crd = load_inpcrd(cfg["dir"]["ligand_inpcrd"])
+    paths = require(cfg, "dir", "the top level")
+    lig = load_prmtop(require(paths, "ligand_prmtop", "'dir'"))
+    lig_crd = load_inpcrd(require(paths, "ligand_inpcrd", "'dir'"))
     system = system_from_amber(lig, dtype=dtype,
                                hydrogen_mass=job.get("H_mass"),
                                constraints="HBonds")
@@ -143,22 +158,26 @@ def main():
             grid=combine_packed_grids(packs),
             scaling=jnp.asarray(np.stack(scales), dtype)))
     else:
+        gpaths = require(cfg, "grids", "the top level (or pass "
+                         "--generate-grids)")
         specs = [
-            (cfg["grids"]["direct_elec"], KCAL_TO_KJ, scale_q),
-            (cfg["grids"]["LJr"], np.sqrt(KCAL_TO_KJ) * 1.0e6, scale_ljr),
-            (cfg["grids"]["LJa"], np.sqrt(KCAL_TO_KJ) * 1.0e3, scale_lja),
+            (require(gpaths, "direct_elec", "'grids'"), KCAL_TO_KJ, scale_q),
+            (require(gpaths, "LJr", "'grids'"),
+             np.sqrt(KCAL_TO_KJ) * 1.0e6, scale_ljr),
+            (require(gpaths, "LJa", "'grids'"),
+             np.sqrt(KCAL_TO_KJ) * 1.0e3, scale_lja),
         ]
         for path, conv, scale in specs:
             bindings.append(get_grid_binding(
                 path, conv, scale, InterpolationMethod.BSPLINE, dtype))
 
     scfg = SamplerConfig(
-        n_states=cfg["nstate"],
-        t_high=job["T_HIGH"],
-        t_min=job["T_SIMMIN"],
-        dt=job["delta_t"] / 1000.0,  # fs -> ps
+        n_states=require(cfg, "nstate", "the top level"),
+        t_high=require(job, "T_HIGH", f"job '{run_job}'"),
+        t_min=require(job, "T_SIMMIN", f"job '{run_job}'"),
+        dt=require(job, "delta_t", f"job '{run_job}'") / 1000.0,  # fs -> ps
         friction=1.0,
-        md_steps_per_trial=cfg["nstep_MD"],
+        md_steps_per_trial=require(cfg, "nstep_MD", "the top level"),
         hydrogen_mass=job.get("H_mass"),
     )
     sampler = Sampler(system, bindings, jnp.asarray(lig_crd, dtype), scfg,
@@ -166,7 +185,9 @@ def main():
 
     work_dir = args.work_dir or os.path.join(
         cfg.get("work_dir", "."), run_job,
-        f'{cfg["nstate"]}_{cfg["ntrial_repX"]}_{cfg["ntrial_gMC"]}')
+        f'{require(cfg, "nstate", "the top level")}'
+        f'_{require(cfg, "ntrial_repX", "the top level")}'
+        f'_{require(cfg, "ntrial_gMC", "the top level")}')
     os.makedirs(work_dir, exist_ok=True)
     energy_file = open(os.path.join(work_dir, "energies.dat"), "w")
     xyz_file = open(os.path.join(work_dir, "traj.xyz"), "w")
@@ -185,8 +206,8 @@ def main():
 
     t0 = time.time()
     sampler.run(n_trials=args.n_trials,
-                n_exchange_per_trial=cfg["ntrial_repX"],
-                n_gmc_per_trial=cfg["ntrial_gMC"],
+                n_exchange_per_trial=require(cfg, "ntrial_repX", "the top level"),
+                n_gmc_per_trial=require(cfg, "ntrial_gMC", "the top level"),
                 callback=report)
     elapsed = time.time() - t0
 
