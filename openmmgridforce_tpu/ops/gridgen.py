@@ -121,6 +121,46 @@ def _derivs_at_points(points, grid_type, positions, charges, sigmas,
     return V * jnp.asarray(scale, dtype=V.dtype)
 
 
+def _device_memory_budget():
+    """Usable accelerator memory in bytes, or None when unbounded/unknown.
+
+    The reference mitigates generation OOM proactively (skips derivatives
+    above 80% free GPU memory, CudaGridForceKernels.cpp:527-535, and caps
+    chunks at <=50% free memory, :1176-1184); here the same check turns a
+    certain device OOM into an actionable error pointing at the tiled
+    path. CPU backends are treated as unbounded.
+    """
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        return None
+    stats = getattr(dev, "memory_stats", lambda: None)() or {}
+    limit = stats.get("bytes_limit")
+    in_use = stats.get("bytes_in_use", 0)
+    if limit:
+        return int(0.8 * (limit - in_use))
+    # stats unavailable (e.g. tunneled devices): assume the v5e's 16 GB HBM
+    return int(0.8 * (16 << 30))
+
+
+def _check_grid_fits(total_points, compute_derivatives, itemsize):
+    budget = _device_memory_budget()
+    if budget is None:
+        return
+    # full grid + (27-derivative array) + one staging copy
+    factor = (28 + 27) if compute_derivatives else 2
+    need = total_points * itemsize * factor
+    if need > budget:
+        what = " with 27 derivatives" if compute_derivatives else ""
+        raise ValueError(
+            f"grid of {total_points:,} points{what} needs ~{need/1e9:.1f} "
+            f"GB on device (>{budget/1e9:.1f} GB available); use "
+            "generate_grid_to_tiled_file + StreamedGridEvaluator for "
+            "out-of-core grids, or drop compute_derivatives "
+            "(B-spline/trilinear do not need them)")
+
+
 def generate_grid(counts,
                   spacing,
                   origin,
@@ -158,6 +198,7 @@ def generate_grid(counts,
     counts = tuple(int(c) for c in counts)
     nx, ny, nz = counts
     total = nx * ny * nz
+    _check_grid_fits(total, compute_derivatives, np.dtype(dtype).itemsize)
     spacing_arr = jnp.asarray(spacing, dtype=dtype)
     origin_arr = jnp.asarray(origin, dtype=dtype)
     positions = jnp.asarray(receptor_positions, dtype=dtype)

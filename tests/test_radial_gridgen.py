@@ -174,3 +174,28 @@ def test_auto_scaling_factors_conventions():
         np.asarray(gridgen.auto_scaling_factors("lja", q, sig, eps,
                                                 convention="diameter")),
         np.sqrt(eps) * (2 * sig) ** 3, rtol=1e-12)
+
+
+def test_memory_guard_raises_for_oversized_grids(monkeypatch):
+    """The proactive OOM check (reference skips derivatives above 80% free
+    GPU memory, CudaGridForceKernels.cpp:527-535) must turn a certain
+    device OOM into an actionable error naming the tiled path."""
+    from openmmgridforce_tpu.ops import gridgen
+
+    monkeypatch.setattr(gridgen, "_device_memory_budget",
+                        lambda: 1 << 30)  # pretend 1 GB free
+    with pytest.raises(ValueError, match="tiled"):
+        gridgen.generate_grid(
+            (512, 512, 512), (0.01,) * 3, (0.0,) * 3, "charge",
+            np.zeros((4, 3)), np.ones(4), np.full(4, 0.3), np.ones(4),
+            compute_derivatives=True)
+    # values-only: 640^3 * 4B * 2 = 2.1 GB > 1 GB -> also raises
+    with pytest.raises(ValueError, match="tiled"):
+        gridgen.generate_grid(
+            (640, 640, 640), (0.01,) * 3, (0.0,) * 3, "charge",
+            np.zeros((4, 3)), np.ones(4), np.full(4, 0.3), np.ones(4))
+    # small grid passes the guard and generates
+    g = gridgen.generate_grid(
+        (9, 9, 9), (0.05,) * 3, (0.0,) * 3, "charge",
+        np.full((2, 3), 2.0), np.ones(2), np.full(2, 0.3), np.ones(2))
+    assert np.all(np.isfinite(np.asarray(g.vals)))
