@@ -208,13 +208,16 @@ def energy_and_forces(system: System, grids: Sequence[GridBinding],
     exactly (OOB restraints, inv-power chain rules); bonded and pair terms
     use the analytic formulas in mm/forcefield.py and ops/pairwise.py.
     """
-    energy, forces = bonded_energy_forces(positions, system)
+    with jax.named_scope("bonded"):
+        energy, forces = bonded_energy_forces(positions, system)
     if system.pairs is not None:
-        e_p, f_p = pair_energy_forces(system.pairs, positions)
+        with jax.named_scope("intra_nonbonded"):
+            e_p, f_p = pair_energy_forces(system.pairs, positions)
         energy = energy + e_p
         forces = forces + f_p
-    for gb in grids:
-        res = _eval_grid(gb.grid, positions, gb.scaling)
+    for i, gb in enumerate(grids):
+        with jax.named_scope(f"grid_force_{i}"):
+            res = _eval_grid(gb.grid, positions, gb.scaling)
         energy = energy + res.energy
         forces = forces + res.forces
     return energy, forces
