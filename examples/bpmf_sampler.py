@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--grid-spacing", type=float, default=0.025,
                     help="spacing (nm) for --generate-grids")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the replica ladder over this many devices "
+                         "(0 = single-device); nstate must be divisible")
     args = ap.parse_args()
 
     with open(args.input) as fh:
@@ -180,8 +183,17 @@ def main():
         md_steps_per_trial=require(cfg, "nstep_MD", "the top level"),
         hydrogen_mass=job.get("H_mass"),
     )
+    mesh = None
+    if args.dp:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            devs = jax.devices("cpu")
+        if len(devs) < args.dp:
+            raise SystemExit(f"--dp {args.dp}: only {len(devs)} devices")
+        mesh = Mesh(np.asarray(devs[:args.dp]), ("dp",))
     sampler = Sampler(system, bindings, jnp.asarray(lig_crd, dtype), scfg,
-                      bonds=[tuple(b) for b in lig.bond_idx])
+                      bonds=[tuple(b) for b in lig.bond_idx], mesh=mesh)
 
     work_dir = args.work_dir or os.path.join(
         cfg.get("work_dir", "."), run_job,

@@ -58,10 +58,27 @@ class Sampler:
 
     def __init__(self, system: System, grids: Sequence[GridBinding],
                  positions, config: SamplerConfig,
-                 bonds=None):
+                 bonds=None, mesh=None, mesh_axis: str = "dp"):
+        """``mesh``: optional jax.sharding.Mesh; the replica ladder is
+        data-parallel over ``mesh_axis`` (states sharded, system/grids
+        replicated). MD segments then run with zero collectives; the
+        exchange sweep's cross-replica permutation compiles to XLA
+        collectives over ICI. n_states must divide the axis size."""
         self.system = system
         self.grids = list(grids)
         self.config = config
+        self._replica_spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_dev = mesh.shape[mesh_axis]
+            if config.n_states % n_dev:
+                raise ValueError(
+                    f"n_states={config.n_states} must be divisible by the "
+                    f"'{mesh_axis}' axis size {n_dev}")
+            self._replica_spec = NamedSharding(mesh, PartitionSpec(mesh_axis))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self.system = jax.device_put(self.system, replicated)
+            self.grids = jax.device_put(self.grids, replicated)
         self.temperatures = temperature_ladder(config.t_min, config.t_high,
                                                config.n_states)
         self.betas = 1.0 / (BOLTZ * self.temperatures)
@@ -71,10 +88,10 @@ class Sampler:
         x0 = jnp.asarray(positions)
         n = config.n_states
         keys = jax.random.split(self._next_key(), n)
-        self.states = MDState(
+        self.states = self._put(MDState(
             positions=jnp.broadcast_to(x0, (n,) + x0.shape),
             velocities=jnp.zeros((n,) + x0.shape, x0.dtype),
-            key=keys)
+            key=keys))
 
         # BAT machinery for genetic MC
         self._zmatrix = None
@@ -169,6 +186,12 @@ class Sampler:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _put(self, tree):
+        """Apply the replica sharding (no-op for single-device samplers)."""
+        if self._replica_spec is None:
+            return tree
+        return jax.device_put(tree, self._replica_spec)
+
     def run_md(self, n_steps: Optional[int] = None):
         """Advance every replica by n_steps of Langevin MD (one dispatch)."""
         n = n_steps or self.config.md_steps_per_trial
@@ -197,7 +220,7 @@ class Sampler:
             pos = np.array(self.states.positions)
             pos[[isel, jsel]] = pos[[jsel, isel]]
             self.states = self.states._replace(
-                positions=jnp.asarray(pos))
+                positions=self._put(jnp.asarray(pos)))
         return int(accept)
 
     def replica_exchange_sweep(self, n_attempts: int) -> int:
@@ -250,7 +273,8 @@ class Sampler:
             self.n_gmc_accepted += 1
             pos[isel] = new_xyz
             energies[isel] = e_new
-            self.states = self.states._replace(positions=jnp.asarray(pos))
+            self.states = self.states._replace(
+                positions=self._put(jnp.asarray(pos)))
         return int(accept)
 
     def genetic_mutation(self, energies=None) -> int:

@@ -108,3 +108,45 @@ def test_exchange_sweep_all_accept_identical(ligand):
     n = sampler.replica_exchange_sweep(10)
     assert n == 10
     assert sampler.n_exchange_attempted == 10
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_sampler_sharded_matches_single_device(ligand):
+    """A mesh-sharded ladder (replicas data-parallel over 'dp') must
+    reproduce the single-device sampler: per-replica MD is independent and
+    the exchange permutation is deterministic given the seed."""
+    from jax.sharding import Mesh
+
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=8, t_high=500.0, t_min=300.0,
+                           dt=0.001, friction=5.0, md_steps_per_trial=10)
+
+    ref = Sampler(system, [], jnp.asarray(crd), config,
+                  bonds=[tuple(b) for b in top.bond_idx])
+    ref.run(n_trials=2, n_exchange_per_trial=3, n_gmc_per_trial=1)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    shd = Sampler(system, [], jnp.asarray(crd), config,
+                  bonds=[tuple(b) for b in top.bond_idx], mesh=mesh)
+    # states actually span the mesh
+    assert len(shd.states.positions.sharding.device_set) == 8
+    shd.run(n_trials=2, n_exchange_per_trial=3, n_gmc_per_trial=1)
+
+    np.testing.assert_allclose(np.asarray(shd.states.positions),
+                               np.asarray(ref.states.positions),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(shd.potential_energies(),
+                               ref.potential_energies(), rtol=1e-12)
+    assert shd.n_exchange_accepted == ref.n_exchange_accepted
+    assert shd.n_gmc_accepted == ref.n_gmc_accepted
+
+
+def test_sampler_mesh_divisibility_error():
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    config = SamplerConfig(n_states=21)
+    with pytest.raises(ValueError, match="divisible"):
+        # constructor must reject a non-divisible ladder before any work
+        Sampler(None, [], jnp.zeros((3, 3)), config, mesh=mesh)
