@@ -143,7 +143,10 @@ def main():
     scale_lja = np.sqrt(lig.epsilons) * (2.0 * rvdw) ** 3
 
     bindings = []
-    if args.generate_grids:
+    # the reference adds grid forces only for the complex ('CD') job;
+    # 'BC' samples the isolated ligand (sampler.py:484-521)
+    want_grids = run_job != "BC"
+    if want_grids and args.generate_grids:
         from openmmgridforce_tpu.mm import GridBinding
         from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
                                                     pack_grid)
@@ -160,7 +163,7 @@ def main():
         bindings.append(GridBinding(
             grid=combine_packed_grids(packs),
             scaling=jnp.asarray(np.stack(scales), dtype)))
-    else:
+    elif want_grids:
         gpaths = require(cfg, "grids", "the top level (or pass "
                          "--generate-grids)")
         specs = [
@@ -217,6 +220,11 @@ def main():
             save_sampler(os.path.join(work_dir, "checkpoint"), s)
 
     t0 = time.time()
+    # equilibration phase before production (sampler.py:551)
+    nstep_equil = int(cfg.get("nstep_equil", 0))
+    if nstep_equil > 0:
+        sampler.run_md(nstep_equil)
+
     sampler.run(n_trials=args.n_trials,
                 n_exchange_per_trial=require(cfg, "ntrial_repX", "the top level"),
                 n_gmc_per_trial=require(cfg, "ntrial_gMC", "the top level"),
