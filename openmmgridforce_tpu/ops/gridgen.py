@@ -107,7 +107,11 @@ def _derivs_at_points(points, grid_type, positions, charges, sigmas,
         cart = radial.radial_to_cartesian(dr, rad, reduce_axis=-1)
         return acc + cart, None
 
-    U0 = jnp.zeros(points.shape[:-1] + (27,), points.dtype)
+    # derive the carry from ``points`` so it inherits any shard_map
+    # varying axes (a plain zeros constant is unvarying and rejects the
+    # varying scan output under manual sharding)
+    U0 = jnp.zeros(points.shape[:-1] + (27,), points.dtype) \
+        + 0.0 * points[..., :1]
     U, _ = jax.lax.scan(body, U0, (pos_c, q_c, s_c, e_c))
 
     V = apply_tanh_cap(U, grid_cap)
@@ -206,6 +210,10 @@ def generate_grid(counts,
     sigmas = jnp.asarray(sigmas, dtype=dtype)
     epsilons = jnp.asarray(epsilons, dtype=dtype)
 
+    # never pad a small grid up to a full chunk: the pair block is
+    # [chunk, atoms], and a 262144-point pad against a 9k-atom receptor
+    # would materialize ~10 GB for a grid of any size
+    chunk_size = max(1, min(chunk_size, total))
     n_chunks = max(1, -(-total // chunk_size))
     padded = n_chunks * chunk_size
     idx = jnp.arange(padded, dtype=jnp.int32).reshape(n_chunks, chunk_size)

@@ -1,2 +1,3 @@
 from .replicas import (init_replica_states, make_ensemble_runner,  # noqa: F401
                        replica_mesh, shard_replica_states)
+from .sharded_gridgen import generate_grid_sharded  # noqa: F401

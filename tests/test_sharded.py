@@ -140,3 +140,38 @@ def test_sharded_md_runner_matches_single_device():
     np.testing.assert_allclose(np.asarray(got.velocities),
                                np.asarray(ref.velocities), rtol=1e-10,
                                atol=1e-12)
+
+
+def test_sharded_generation_matches_single_device():
+    """x-slab generation over the mesh must equal single-device
+    generate_grid exactly (values and all 27 derivatives)."""
+    from jax.sharding import Mesh
+    from openmmgridforce_tpu.ops import gridgen
+    from openmmgridforce_tpu.parallel import generate_grid_sharded
+
+    rng = np.random.default_rng(5)
+    rec = rng.uniform(0.0, 1.2, (20, 3))
+    q = rng.uniform(-0.5, 0.5, 20)
+    sig = rng.uniform(0.25, 0.35, 20)
+    eps = rng.uniform(0.3, 0.8, 20)
+    counts = (13, 6, 5)          # x deliberately NOT divisible by 8
+    spacing = (0.1, 0.1, 0.1)
+    origin = (0.05, 0.05, 0.05)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+
+    for derivs in (False, True):
+        ref = gridgen.generate_grid(counts, spacing, origin, "charge",
+                                    rec, q, sig, eps,
+                                    compute_derivatives=derivs,
+                                    dtype=np.float64)
+        shd = generate_grid_sharded(mesh, counts, spacing, origin,
+                                    "charge", rec, q, sig, eps,
+                                    compute_derivatives=derivs,
+                                    dtype=np.float64)
+        assert len(shd.vals.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(shd.vals),
+                                   np.asarray(ref.vals), rtol=1e-12)
+        if derivs:
+            np.testing.assert_allclose(np.asarray(shd.derivs),
+                                       np.asarray(ref.derivs),
+                                       rtol=1e-12, atol=1e-12)
