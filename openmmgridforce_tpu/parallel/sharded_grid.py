@@ -206,7 +206,7 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
     try:
         from jax import shard_map
     except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
     def eval_fn(grid: ShardedPackedGrid, positions, scaling):
         grid_specs = ShardedPackedGrid(
