@@ -97,6 +97,10 @@ def main():
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the replica ladder over this many devices "
                          "(0 = single-device); nstate must be divisible")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="additionally shard the fused grid table "
+                         "spatially over this many devices per replica "
+                         "group (total devices = dp * sp)")
     args = ap.parse_args()
 
     with open(args.input) as fh:
@@ -130,9 +134,14 @@ def main():
     paths = require(cfg, "dir", "the top level")
     lig = load_prmtop(require(paths, "ligand_prmtop", "'dir'"))
     lig_crd = load_inpcrd(require(paths, "ligand_inpcrd", "'dir'"))
+    # SHAKE constraints are not supported on the spatially-sharded path
+    constraints = "HBonds" if args.sp <= 1 else None
+    if constraints is None:
+        print("note: --sp > 1 disables HBonds constraints "
+              "(keep delta_t <= 1 fs)", flush=True)
     system = system_from_amber(lig, dtype=dtype,
                                hydrogen_mass=job.get("H_mass"),
-                               constraints="HBonds")
+                               constraints=constraints)
 
     # per-atom scaling factors with the sampler's conventions
     # (sampler.py:497-520: charge; sqrt(eps)*(2 rVdw)^6; sqrt(eps)*(2 rVdw)^3
@@ -141,6 +150,22 @@ def main():
     scale_q = lig.charges
     scale_ljr = np.sqrt(lig.epsilons) * (2.0 * rvdw) ** 6
     scale_lja = np.sqrt(lig.epsilons) * (2.0 * rvdw) ** 3
+
+    mesh = None
+    if args.dp:
+        from jax.sharding import Mesh
+        n_dev = args.dp * max(args.sp, 1)
+        devs = jax.devices()
+        if len(devs) < n_dev:
+            devs = jax.devices("cpu")
+        if len(devs) < n_dev:
+            raise SystemExit(f"--dp {args.dp} --sp {args.sp}: need "
+                             f"{n_dev} devices, only {len(devs)}")
+        if args.sp > 1:
+            mesh = Mesh(np.asarray(devs[:n_dev]).reshape(args.dp, args.sp),
+                        ("dp", "sp"))
+        else:
+            mesh = Mesh(np.asarray(devs[:n_dev]), ("dp",))
 
     bindings = []
     # the reference adds grid forces only for the complex ('CD') job;
@@ -186,15 +211,6 @@ def main():
         md_steps_per_trial=require(cfg, "nstep_MD", "the top level"),
         hydrogen_mass=job.get("H_mass"),
     )
-    mesh = None
-    if args.dp:
-        from jax.sharding import Mesh
-        devs = jax.devices()
-        if len(devs) < args.dp:
-            devs = jax.devices("cpu")
-        if len(devs) < args.dp:
-            raise SystemExit(f"--dp {args.dp}: only {len(devs)} devices")
-        mesh = Mesh(np.asarray(devs[:args.dp]), ("dp",))
     sampler = Sampler(system, bindings, jnp.asarray(lig_crd, dtype), scfg,
                       bonds=[tuple(b) for b in lig.bond_idx], mesh=mesh)
 

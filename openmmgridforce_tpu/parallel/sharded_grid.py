@@ -203,10 +203,7 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
     GridEval. Positions/scaling are replicated along ``axis`` (they may be
     sharded along other mesh axes via ``extra_batch_specs``)."""
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax import shard_map
+    from jax import shard_map
 
     def eval_fn(grid: ShardedPackedGrid, positions, scaling):
         grid_specs = ShardedPackedGrid(

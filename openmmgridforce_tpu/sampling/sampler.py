@@ -60,14 +60,22 @@ class Sampler:
                  positions, config: SamplerConfig,
                  bonds=None, mesh=None, mesh_axis: str = "dp"):
         """``mesh``: optional jax.sharding.Mesh; the replica ladder is
-        data-parallel over ``mesh_axis`` (states sharded, system/grids
-        replicated). MD segments then run with zero collectives; the
-        exchange sweep's cross-replica permutation compiles to XLA
-        collectives over ICI. n_states must divide the axis size."""
+        data-parallel over ``mesh_axis`` (states sharded). MD segments
+        then run with zero collectives; the exchange sweep's cross-replica
+        permutation compiles to XLA collectives over ICI. n_states must
+        divide the axis size.
+
+        If the mesh ALSO has an ``sp`` axis (size > 1) and the grids are a
+        single packed/fused binding, the grid table is sharded spatially
+        over ``sp`` (parallel.shard_packed_grid) and all kernels switch to
+        the dp x sp runners — the full BPMF production loop then scales
+        over both replica count and grid size. Constraints are not
+        supported on that path yet."""
         self.system = system
         self.grids = list(grids)
         self.config = config
         self._replica_spec = None
+        self._sp = False
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             n_dev = mesh.shape[mesh_axis]
@@ -78,7 +86,20 @@ class Sampler:
             self._replica_spec = NamedSharding(mesh, PartitionSpec(mesh_axis))
             replicated = NamedSharding(mesh, PartitionSpec())
             self.system = jax.device_put(self.system, replicated)
-            self.grids = jax.device_put(self.grids, replicated)
+            self._sp = ("sp" in mesh.axis_names and mesh.shape["sp"] > 1
+                        and len(self.grids) == 1)
+            if self._sp:
+                from ..ops.packed import MultiPackedGrid, PackedGrid
+                g = self.grids[0].grid
+                if not isinstance(g, (MultiPackedGrid, PackedGrid)):
+                    raise ValueError(
+                        "spatial ('sp') sharding needs a packed grid "
+                        "(pack_grid / combine_packed_grids)")
+                if system.constraints is not None:
+                    raise ValueError("spatially-sharded sampling does not "
+                                     "support constraints yet")
+            else:
+                self.grids = jax.device_put(self.grids, replicated)
         self.temperatures = temperature_ladder(config.t_min, config.t_high,
                                                config.n_states)
         self.betas = 1.0 / (BOLTZ * self.temperatures)
@@ -174,6 +195,74 @@ class Sampler:
 
         self._exchange_sweep = jax.jit(exchange_sweep,
                                        static_argnums=3)
+
+        if self._sp:
+            # dp x sp kernels: grid table sharded spatially, replicas
+            # data-parallel; energies/forces from the zero-halo slab
+            # evaluator (parallel/sharded_grid.py)
+            from jax.sharding import PartitionSpec as _P
+            from ..mm.forcefield import bonded_energy
+            from ..ops.pairwise import pair_energy
+            from ..parallel.sharded_grid import (make_sharded_grid_eval,
+                                                 make_sharded_md_runner,
+                                                 shard_packed_grid)
+
+            binding = self.grids[0]
+            self._sgrid = shard_packed_grid(binding.grid, mesh, axis="sp")
+            self._sscaling = jnp.asarray(binding.scaling, x0.dtype)
+            eval_b = make_sharded_grid_eval(mesh, axis="sp",
+                                            extra_batch_specs=_P("dp"))
+            eval_1 = make_sharded_grid_eval(mesh, axis="sp")
+
+            def intra_energy(x, system):
+                e = bonded_energy(x, system)
+                if system.pairs is not None:
+                    e = e + pair_energy(system.pairs, x)
+                return e
+
+            def batched_energy_sp(positions, system, sgrid, scaling):
+                res = eval_b(sgrid, positions, scaling)
+                e_grid = jnp.sum(res.per_atom_energy, axis=-1)  # [R]
+                return e_grid + jax.vmap(
+                    lambda x: intra_energy(x, system))(positions)
+
+            _energies_sp = jax.jit(batched_energy_sp)
+            self._energies = lambda p: _energies_sp(
+                p, self.system, self._sgrid, self._sscaling)
+
+            def single_energy_sp(x, system, sgrid, scaling):
+                return (eval_1(sgrid, x, scaling).energy
+                        + intra_energy(x, system))
+
+            _energy1_sp = jax.jit(single_energy_sp)
+            self._energy1 = lambda x: _energy1_sp(
+                x, self.system, self._sgrid, self._sscaling)
+
+            # per-trial velocity resampling, SAME key schedule as the
+            # single-device segment above
+            def resample(states, system):
+                def one(state, t):
+                    key, sub = jax.random.split(state.key)
+                    sigma_v = jnp.sqrt(BOLTZ * t / system.masses)[:, None]
+                    v = sigma_v * jax.random.normal(
+                        sub, state.positions.shape, state.positions.dtype)
+                    return MDState(state.positions, v, key)
+                return jax.vmap(one)(states, temps)
+
+            _resample = jax.jit(resample)
+            self._sp_runners = {}
+
+            def segment_sp(states, n_steps: int):
+                run = self._sp_runners.get(n_steps)
+                if run is None:
+                    run = make_sharded_md_runner(
+                        mesh, n_steps, config.dt, config.friction)
+                    self._sp_runners[n_steps] = run
+                states = _resample(states, self.system)
+                return run(states, self.system, self._sgrid,
+                           self._sscaling, temps)
+
+            self._segment = segment_sp
 
         # MC statistics
         self.n_exchange_accepted = 0

@@ -150,3 +150,72 @@ def test_sampler_mesh_divisibility_error():
     with pytest.raises(ValueError, match="divisible"):
         # constructor must reject a non-divisible ladder before any work
         Sampler(None, [], jnp.zeros((3, 3)), config, mesh=mesh)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_sampler_dp_sp_matches_single_device(ligand):
+    """Full dp x sp sampler (replicas data-parallel, fused grid table
+    sharded spatially) must reproduce the single-device ladder: the
+    zero-halo slab evaluation is bit-equivalent by construction."""
+    from jax.sharding import Mesh
+    from openmmgridforce_tpu import Grid, InterpolationMethod
+    from openmmgridforce_tpu.mm import GridBinding
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    lo = crd.min(0) - 0.4
+    packs, scals = [], []
+    for seed, scale in ((3, np.abs(RNG.standard_normal(top.natom))),
+                        (4, RNG.standard_normal(top.natom))):
+        vals = np.random.default_rng(seed).standard_normal(
+            (17, 12, 12)) * 2.0
+        g = Grid.create(vals, (0.12, 0.12, 0.12), lo,
+                        interp_method=InterpolationMethod.BSPLINE,
+                        dtype=np.float64)
+        packs.append(pack_grid(g))
+        scals.append(scale)
+    binding = GridBinding(grid=combine_packed_grids(packs),
+                          scaling=jnp.asarray(np.stack(scals)))
+
+    config = SamplerConfig(n_states=4, t_high=500.0, t_min=300.0,
+                           dt=0.001, friction=5.0, md_steps_per_trial=10)
+    ref = Sampler(system, [binding], jnp.asarray(crd), config,
+                  bonds=[tuple(b) for b in top.bond_idx])
+    ref.run(n_trials=2, n_exchange_per_trial=3, n_gmc_per_trial=1)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "sp"))
+    shd = Sampler(system, [binding], jnp.asarray(crd), config,
+                  bonds=[tuple(b) for b in top.bond_idx], mesh=mesh)
+    assert shd._sp
+    assert len(shd._sgrid.coeffs.sharding.device_set) == 8
+    shd.run(n_trials=2, n_exchange_per_trial=3, n_gmc_per_trial=1)
+
+    np.testing.assert_allclose(np.asarray(shd.states.positions),
+                               np.asarray(ref.states.positions),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(shd.potential_energies(),
+                               ref.potential_energies(), rtol=1e-10)
+    assert shd.n_exchange_accepted == ref.n_exchange_accepted
+    assert shd.n_gmc_accepted == ref.n_gmc_accepted
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_sampler_sp_rejects_constraints(ligand):
+    from jax.sharding import Mesh
+    from openmmgridforce_tpu import Grid, InterpolationMethod
+    from openmmgridforce_tpu.mm import GridBinding
+    from openmmgridforce_tpu.ops.packed import pack_grid
+
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0,
+                               constraints="HBonds")
+    g = Grid.create(np.zeros((9, 8, 8)), (0.2,) * 3, crd.min(0) - 0.4,
+                    dtype=np.float64)
+    binding = GridBinding(grid=pack_grid(g),
+                          scaling=jnp.asarray(np.ones(top.natom)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "sp"))
+    with pytest.raises(ValueError, match="constraints"):
+        Sampler(system, [binding], jnp.asarray(crd),
+                SamplerConfig(n_states=4), mesh=mesh)
