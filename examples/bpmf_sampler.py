@@ -134,14 +134,9 @@ def main():
     paths = require(cfg, "dir", "the top level")
     lig = load_prmtop(require(paths, "ligand_prmtop", "'dir'"))
     lig_crd = load_inpcrd(require(paths, "ligand_inpcrd", "'dir'"))
-    # SHAKE constraints are not supported on the spatially-sharded path
-    constraints = "HBonds" if args.sp <= 1 else None
-    if constraints is None:
-        print("note: --sp > 1 disables HBonds constraints "
-              "(keep delta_t <= 1 fs)", flush=True)
     system = system_from_amber(lig, dtype=dtype,
                                hydrogen_mass=job.get("H_mass"),
-                               constraints=constraints)
+                               constraints="HBonds")
 
     # per-atom scaling factors with the sampler's conventions
     # (sampler.py:497-520: charge; sqrt(eps)*(2 rVdw)^6; sqrt(eps)*(2 rVdw)^3

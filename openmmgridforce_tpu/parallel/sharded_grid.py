@@ -234,7 +234,8 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
 
 def make_sharded_md_runner(mesh: Mesh, n_steps: int, dt: float,
                            friction: float, dp_axis: str = "dp",
-                           sp_axis: str = "sp", unroll: int = 4):
+                           sp_axis: str = "sp", unroll: int = 4,
+                           constraints=None):
     """Jitted Langevin MD over a 2-D (dp x sp) mesh.
 
     Replicas shard over ``dp_axis``; the fused grid shards spatially over
@@ -242,6 +243,10 @@ def make_sharded_md_runner(mesh: Mesh, n_steps: int, dt: float,
     batch-parallel. Noise/key handling mirrors mm.make_md_runner's
     per-replica scheme exactly, so single- and multi-chip trajectories
     match bit-for-bit given the same keys.
+
+    ``constraints``: optional ConstraintSet — constraints are
+    replica-local, so SHAKE/RATTLE vmap over the dp-sharded batch with no
+    cross-shard communication (mm.integrators._constrain semantics).
 
     Returns run(states, system, sharded_grid, scaling, temperatures):
       states: batched MDState [R, ...] (dp-sharded);
@@ -280,9 +285,14 @@ def make_sharded_md_runner(mesh: Mesh, n_steps: int, dt: float,
                     k, shape, x.dtype))(subs)
             v = (a * v + (1.0 - a) * f * inv_m / friction
                  + jnp.sqrt(kT * (1.0 - a * a) * inv_m) * noise)
-            x = x + v * dt
+            x_new = x + v * dt
+            if constraints is not None:
+                from ..mm.integrators import _constrain
+                x_new, v = jax.vmap(
+                    lambda x0, x1, vv: _constrain(constraints, x0, x1,
+                                                  vv, dt))(x, x_new, v)
             from ..mm.integrators import MDState
-            return MDState(x, v, keys2)
+            return MDState(x_new, v, keys2)
 
         def body(s, _):
             return step(s), None

@@ -69,8 +69,7 @@ class Sampler:
         single packed/fused binding, the grid table is sharded spatially
         over ``sp`` (parallel.shard_packed_grid) and all kernels switch to
         the dp x sp runners — the full BPMF production loop then scales
-        over both replica count and grid size. Constraints are not
-        supported on that path yet."""
+        over both replica count and grid size."""
         self.system = system
         self.grids = list(grids)
         self.config = config
@@ -95,9 +94,6 @@ class Sampler:
                     raise ValueError(
                         "spatial ('sp') sharding needs a packed grid "
                         "(pack_grid / combine_packed_grids)")
-                if system.constraints is not None:
-                    raise ValueError("spatially-sharded sampling does not "
-                                     "support constraints yet")
             else:
                 self.grids = jax.device_put(self.grids, replicated)
         self.temperatures = temperature_ladder(config.t_min, config.t_high,
@@ -256,7 +252,8 @@ class Sampler:
                 run = self._sp_runners.get(n_steps)
                 if run is None:
                     run = make_sharded_md_runner(
-                        mesh, n_steps, config.dt, config.friction)
+                        mesh, n_steps, config.dt, config.friction,
+                        constraints=self.system.constraints)
                     self._sp_runners[n_steps] = run
                 states = _resample(states, self.system)
                 return run(states, self.system, self._sgrid,

@@ -202,7 +202,9 @@ def test_sampler_dp_sp_matches_single_device(ligand):
 
 
 @pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
-def test_sampler_sp_rejects_constraints(ligand):
+def test_sampler_dp_sp_constrained_matches_single_device(ligand):
+    """SHAKE/RATTLE constraints are replica-local, so the dp x sp path
+    must reproduce the constrained single-device ladder too."""
     from jax.sharding import Mesh
     from openmmgridforce_tpu import Grid, InterpolationMethod
     from openmmgridforce_tpu.mm import GridBinding
@@ -211,11 +213,24 @@ def test_sampler_sp_rejects_constraints(ligand):
     top, crd = ligand
     system = system_from_amber(top, hydrogen_mass=4.0,
                                constraints="HBonds")
-    g = Grid.create(np.zeros((9, 8, 8)), (0.2,) * 3, crd.min(0) - 0.4,
-                    dtype=np.float64)
+    g = Grid.create(
+        np.random.default_rng(9).standard_normal((17, 12, 12)) * 2.0,
+        (0.12,) * 3, crd.min(0) - 0.4,
+        interp_method=InterpolationMethod.BSPLINE, dtype=np.float64)
     binding = GridBinding(grid=pack_grid(g),
                           scaling=jnp.asarray(np.ones(top.natom)))
+    config = SamplerConfig(n_states=4, t_high=500.0, t_min=300.0,
+                           dt=0.001, friction=5.0, md_steps_per_trial=10)
+
+    ref = Sampler(system, [binding], jnp.asarray(crd), config)
+    ref.run(n_trials=2, n_exchange_per_trial=2)
+
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "sp"))
-    with pytest.raises(ValueError, match="constraints"):
-        Sampler(system, [binding], jnp.asarray(crd),
-                SamplerConfig(n_states=4), mesh=mesh)
+    shd = Sampler(system, [binding], jnp.asarray(crd), config, mesh=mesh)
+    assert shd._sp
+    shd.run(n_trials=2, n_exchange_per_trial=2)
+
+    np.testing.assert_allclose(np.asarray(shd.states.positions),
+                               np.asarray(ref.states.positions),
+                               rtol=0, atol=1e-12)
+    assert shd.n_exchange_accepted == ref.n_exchange_accepted
