@@ -29,3 +29,25 @@ def test_dryrun_multichip(graft, n):
     if len(jax.devices()) < n:
         pytest.skip("needs virtual devices")
     graft.dryrun_multichip(n)
+
+
+def test_dryrun_multichip_driver_env():
+    """Run dryrun_multichip(8) the way the DRIVER does: a fresh
+    interpreter with the axon plugin on PYTHONPATH and NO JAX_PLATFORMS
+    pin — the entry itself must force the CPU virtual mesh (round-1
+    regression: eager ops hit the broken tunneled TPU backend first)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # the entry must set the device-count flag
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    env.pop("OMGF_TEST_PLATFORM", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout
