@@ -81,7 +81,8 @@ class ApiSystem:
 
         self.topology = topology
         self._core = system_from_amber(topology, dtype=jnp.float64,
-                                       hydrogen_mass=hydrogen_mass)
+                                       hydrogen_mass=hydrogen_mass,
+                                       constraints=constraints)
         self.constraints = constraints
         self._forces: List[Force] = [
             HarmonicBondForce(),
@@ -216,6 +217,9 @@ class _GridBindingInfo:
         self.atom_indices = jnp.asarray(atom_indices, dtype=jnp.int32)
         self.scaling = jnp.asarray(scaling, dtype=jnp.float64)
         self.group_sizes = group_sizes  # list[int], empty if no groups
+        # streamed-stepping bookkeeping (world coords, numpy):
+        self.full_box = streamer.full_box if streamer is not None else None
+        self.interior = None            # (lo, hi) of the current region
 
 
 class Context:
@@ -229,9 +233,13 @@ class Context:
         self._key = jax.random.PRNGKey(seed)
         self._grid_infos: Dict[int, _GridBindingInfo] = {}
         self._iso_infos: Dict[int, tuple] = {}
-        self._stepper = None
-        self._stepper_steps = None
+        self._steppers: Dict[int, object] = {}   # n_steps -> jitted runner
         self._last_grid_results: Dict[int, object] = {}
+        # streamed grids: host-side region refresh cadence during stepping
+        # (the reference re-prepares tiles EVERY step,
+        # CudaGridForceKernels.cpp:888-975; here the region carries enough
+        # margin that one refresh serves a whole jitted segment)
+        self.stream_refresh_steps = 100
         self._initialize_forces()
 
     # --- force resolution (the reference's kernel initialize() path) ----
@@ -377,8 +385,16 @@ class Context:
         self._invalidate_stepper()
 
     # --- evaluation ------------------------------------------------------
-    def _per_force_terms(self, positions):
-        """Returns dict force_index -> (energy, forces [N,3])."""
+    def _per_force_terms(self, positions, grid_args=None):
+        """Returns dict force_index -> (energy, forces [N,3]).
+
+        ``grid_args``: optional dict force_index -> Grid overriding the
+        resolved grid data. This is how jitted paths (stepping,
+        minimization) receive grids as ARGUMENTS instead of baking them
+        into the program as HLO constants (the remote TPU compiler
+        rejects >~100 MB programs — see mm.make_md_runner); for streamed
+        grids it carries the current region-resident Grid.
+        """
         core = self.system._core
         out = {}
         for idx, force in enumerate(self.system.getForces()):
@@ -404,14 +420,22 @@ class Context:
                 out[idx] = (e, f)
             elif isinstance(force, GridForce):
                 info = self._grid_infos[idx]
-                if info.streamer is not None:
+                override = None if grid_args is None else grid_args.get(idx)
+                if info.streamer is not None and override is not None:
+                    from ..io.streaming import evaluate_streamed
+                    lo, hi = info.full_box
+                    res = evaluate_streamed(
+                        override, lo, hi, positions[info.atom_indices],
+                        info.scaling, info.streamer.oob_k)
+                elif info.streamer is not None:
                     res = info.streamer.evaluate(
                         np.asarray(positions)[np.asarray(info.atom_indices)],
                         np.asarray(info.scaling))
                 else:
-                    res = evaluate_grid(info.grid,
-                                        positions[info.atom_indices],
-                                        info.scaling)
+                    res = evaluate_grid(
+                        info.grid if override is None else override,
+                        positions[info.atom_indices],
+                        info.scaling)
                 f = jnp.zeros_like(positions).at[info.atom_indices].add(
                     jnp.asarray(res.forces, positions.dtype))
                 out[idx] = (jnp.asarray(res.energy, positions.dtype), f)
@@ -424,8 +448,9 @@ class Context:
                 raise TypeError(f"unknown force type {type(force)}")
         return out
 
-    def _group_mask_terms(self, positions, groups: Optional[set]):
-        terms = self._per_force_terms(positions)
+    def _group_mask_terms(self, positions, groups: Optional[set],
+                          grid_args=None):
+        terms = self._per_force_terms(positions, grid_args)
         energy = jnp.zeros((), dtype=positions.dtype)
         forces = jnp.zeros_like(positions)
         for idx, force in enumerate(self.system.getForces()):
@@ -437,10 +462,17 @@ class Context:
         return energy, forces
 
     # --- public API --------------------------------------------------------
+    def getIntegrator(self):
+        return self.integrator
+
+    def getSystem(self):
+        return self.system
+
     def setPositions(self, positions):
+        # positions flow through the jitted steppers as arguments, so no
+        # stepper invalidation (a rebuild costs a full remote recompile)
         self._positions = jnp.asarray(np.asarray(positions,
                                                  dtype=np.float64))
-        self._invalidate_stepper()
 
     def getPositions(self):
         return np.asarray(self._positions)
@@ -478,49 +510,111 @@ class Context:
 
     # --- stepping ----------------------------------------------------------
     def _invalidate_stepper(self):
-        self._stepper = None
+        self._steppers = {}
+
+    def _grid_arguments(self):
+        """Grid pytrees to pass through jit as ARGUMENTS (never baked as
+        HLO constants — the remote TPU compiler rejects >~100 MB
+        programs). For streamed forces this reads a fresh region covering
+        the current atom cloud."""
+        gidx = sorted(self._grid_infos)
+        grids = []
+        for i in gidx:
+            info = self._grid_infos[i]
+            if info.streamer is not None:
+                pos = np.asarray(self._positions)[
+                    np.asarray(info.atom_indices)]
+                g, info.interior = info.streamer.region_grid(pos)
+                grids.append(g)
+            else:
+                grids.append(info.grid)
+        return gidx, tuple(grids)
+
+    def _check_stream_bounds(self):
+        """After a streamed segment: every streamed atom must sit either
+        inside its region's exact interior or outside the full grid (the
+        restraint branch). Anything else means the cloud outran the
+        region mid-segment and the segment's forces were not exact."""
+        for info in self._grid_infos.values():
+            if info.streamer is None or info.interior is None:
+                continue
+            pos = np.asarray(self._positions)[np.asarray(info.atom_indices)]
+            lo, hi = info.interior
+            flo, fhi = info.full_box
+            ok = (np.all((pos >= lo) & (pos <= hi), axis=1)
+                  | np.any((pos < flo) | (pos > fhi), axis=1))
+            if not np.all(ok):
+                raise RuntimeError(
+                    "atoms crossed the streamed region boundary during a "
+                    f"{self.stream_refresh_steps}-step segment; lower "
+                    "context.stream_refresh_steps or enlarge the tile "
+                    "region (GridForce.setMemoryBudgetMB)")
 
     def _build_stepper(self, n_steps):
         core = self.system._core
-
-        def force_fn(x):
-            return self._group_mask_terms(x, None)[1]
-
+        gidx = sorted(self._grid_infos)
         integ = self.integrator
-        if isinstance(integ, LangevinIntegrator):
-            step = make_langevin_step(force_fn, core.masses, integ.dt,
-                                      integ.friction, integ.temperature,
-                                      scheme=integ.scheme)
-        elif isinstance(integ, VerletIntegrator):
-            step = make_verlet_step(force_fn, core.masses, integ.dt)
-        else:
-            raise TypeError(f"unknown integrator {type(integ)}")
 
-        self._stepper = jax.jit(
-            lambda s: run_segment(step, s, n_steps))
-        self._stepper_steps = n_steps
+        def run(st, grids):
+            grid_args = dict(zip(gidx, grids))
+
+            def force_fn(x):
+                return self._group_mask_terms(x, None, grid_args)[1]
+
+            if isinstance(integ, LangevinIntegrator):
+                step = make_langevin_step(force_fn, core.masses, integ.dt,
+                                          integ.friction, integ.temperature,
+                                          scheme=integ.scheme,
+                                          constraints=core.constraints)
+            elif isinstance(integ, VerletIntegrator):
+                step = make_verlet_step(force_fn, core.masses, integ.dt,
+                                        constraints=core.constraints)
+            else:
+                raise TypeError(f"unknown integrator {type(integ)}")
+            return run_segment(step, st, n_steps)
+
+        stepper = jax.jit(run)
+        self._steppers[n_steps] = stepper
+        return stepper
 
     def _step(self, n):
         if self._positions is None:
             raise RuntimeError("setPositions first")
         if self._velocities is None:
             self._velocities = jnp.zeros_like(self._positions)
-        if self._stepper is None or self._stepper_steps != n:
-            self._build_stepper(n)
-        self._key, sub = jax.random.split(self._key)
-        st = MDState(self._positions, self._velocities, sub)
-        st = self._stepper(st)
-        self._positions = st.positions
-        self._velocities = st.velocities
+        n = int(n)
+        streamed = any(i.streamer is not None
+                       for i in self._grid_infos.values())
+        chunk = min(n, self.stream_refresh_steps) if streamed else n
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            stepper = self._steppers.get(k) or self._build_stepper(k)
+            _, grids = self._grid_arguments()
+            self._key, sub = jax.random.split(self._key)
+            st = stepper(MDState(self._positions, self._velocities, sub),
+                         grids)
+            self._positions = st.positions
+            self._velocities = st.velocities
+            done += k
+            if streamed:
+                jax.block_until_ready(self._positions)
+                self._check_stream_bounds()
 
     # --- group / atom energy queries (GridForce companions) ----------------
+    def _grid_eval(self, info):
+        pos = self._positions[info.atom_indices]
+        if info.streamer is not None:
+            return info.streamer.evaluate(np.asarray(pos),
+                                          np.asarray(info.scaling))
+        return evaluate_grid(info.grid, pos, info.scaling)
+
     def _grid_group_energies(self, force: GridForce):
         idx = self.system.getForces().index(force)
         info = self._grid_infos[idx]
         if not info.group_sizes:
             return []
-        res = evaluate_grid(info.grid, self._positions[info.atom_indices],
-                            info.scaling)
+        res = self._grid_eval(info)
         out = []
         off = 0
         pa = np.asarray(res.per_atom_energy)
@@ -532,8 +626,7 @@ class Context:
     def _grid_atom_energies(self, force: GridForce):
         idx = self.system.getForces().index(force)
         info = self._grid_infos[idx]
-        res = evaluate_grid(info.grid, self._positions[info.atom_indices],
-                            info.scaling)
+        res = self._grid_eval(info)
         return list(np.asarray(res.per_atom_energy))
 
 
@@ -553,28 +646,49 @@ class Simulation:
     def minimizeEnergy(self, maxIterations=200, tolerance=10.0):
         """L-BFGS energy minimization (optax), mirroring OpenMM's
         LocalEnergyMinimizer role. ``tolerance`` is the RMS force target
-        in kJ/mol/nm."""
+        in kJ/mol/nm.
+
+        The whole loop (rms gate included) runs inside one jitted
+        lax.while_loop — ONE host round-trip total, instead of one per
+        iteration (~31 ms each through the tunnel). Grids are threaded
+        through as jit arguments, never baked as HLO constants."""
         import optax
 
         ctx = self.context
-        x = ctx._positions
+        gidx, grids = ctx._grid_arguments()
 
         @jax.jit
-        def energy(p):
-            return ctx._group_mask_terms(p, None)[0]
+        def minimize(x0, grids):
+            grid_args = dict(zip(gidx, grids))
 
-        opt = optax.lbfgs()
-        state = opt.init(x)
-        value_and_grad = jax.jit(jax.value_and_grad(energy))
-        for _ in range(maxIterations):
-            e, g = value_and_grad(x)
-            rms = float(jnp.sqrt(jnp.mean(g * g)))
-            if rms < tolerance:
-                break
-            updates, state = opt.update(
-                g, state, x, value=e, grad=g, value_fn=energy)
-            x = optax.apply_updates(x, updates)
-        ctx._positions = x
+            def energy(p):
+                return ctx._group_mask_terms(p, None, grid_args)[0]
+
+            vg = jax.value_and_grad(energy)
+            opt = optax.lbfgs()
+            e0, g0 = vg(x0)
+
+            def cond(carry):
+                _, _, _, g, it = carry
+                return ((it < maxIterations)
+                        & (jnp.sqrt(jnp.mean(g * g)) >= tolerance))
+
+            def body(carry):
+                x, st, e, g, it = carry
+                updates, st = opt.update(
+                    g, st, x, value=e, grad=g, value_fn=energy)
+                x = optax.apply_updates(x, updates)
+                e, g = vg(x)
+                return (x, st, e, g, it + 1)
+
+            x, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (x0, opt.init(x0), e0, g0, 0))
+            return x
+
+        ctx._positions = minimize(ctx._positions, grids)
+        if any(i.streamer is not None for i in ctx._grid_infos.values()):
+            jax.block_until_ready(ctx._positions)
+            ctx._check_stream_bounds()
 
     def _ctx_positions(self):
         return self.context._positions

@@ -14,9 +14,39 @@ from __future__ import annotations
 import numpy as np
 
 from ..grid import Grid, InterpolationMethod
-from ..ops.interpolate import evaluate_grid
+from ..ops.interpolate import GridEval, evaluate_grid
 from ..units import DEFAULT_OOB_K
 from .native import NativeTileStream
+
+
+def evaluate_streamed(grid: Grid, full_origin, full_corner, positions,
+                      scaling, oob_k: float) -> GridEval:
+    """Evaluate atoms on a region-resident :class:`Grid`, applying the
+    out-of-bounds restraint of the FULL grid box (jit-compatible).
+
+    The region grid's own inside-test uses the region box; atoms outside
+    the full grid must be restrained toward the full box instead
+    (reference semantics: ReferenceGridForceKernels.cpp's OOB branch is
+    relative to the whole grid). Atoms inside the full grid but outside
+    the region get region-restraint values — callers must keep the cloud
+    inside the region (see ``StreamedGridEvaluator.region_grid``).
+    """
+    import jax.numpy as jnp
+
+    res = evaluate_grid(grid, positions, scaling)
+    full_origin = jnp.asarray(full_origin, positions.dtype)
+    full_corner = jnp.asarray(full_corner, positions.dtype)
+    inside_full = jnp.all((positions >= full_origin)
+                          & (positions <= full_corner), axis=1)
+    dev = jnp.where(positions < full_origin, positions - full_origin,
+                    jnp.where(positions > full_corner,
+                              positions - full_corner, 0.0))
+    e_oob = 0.5 * oob_k * jnp.sum(dev * dev, axis=1)
+    f_oob = -oob_k * dev
+    active = inside_full & (jnp.asarray(scaling) != 0.0)
+    per_atom = jnp.where(active, res.per_atom_energy, e_oob)
+    forces = jnp.where(active[:, None], res.forces, f_oob)
+    return GridEval(jnp.sum(per_atom), forces, per_atom)
 
 # stencil halo (grid points) needed on each side per method
 _HALO = {
@@ -81,12 +111,24 @@ class StreamedGridEvaluator:
                                                0))
         return start
 
-    def evaluate(self, positions, scaling):
-        """GridEval for the atoms against the streamed region.
+    @property
+    def full_box(self):
+        """(origin, corner) of the FULL on-disk grid in world coords."""
+        spacing = np.asarray(self.stream.spacing)
+        origin = np.asarray(self.stream.origin)
+        corner = origin + (np.asarray(self.stream.counts) - 1) * spacing
+        return origin, corner
 
-        Atoms outside the FULL grid get the standard restraint; the region
-        is chosen to contain all atoms, so region-local evaluation matches
-        full-grid evaluation exactly for inside atoms.
+    def region_grid(self, positions):
+        """Read the region covering ``positions`` and return
+        ``(grid, (interior_lo, interior_hi))``.
+
+        ``grid`` is a device-ready :class:`Grid` for the region; within
+        the interior box, region-local evaluation via
+        :func:`evaluate_streamed` is exact (full stencil support). The
+        interior extends to the full-grid boundary wherever the region
+        touches it. Segment runners refresh the region whenever the atom
+        cloud approaches the interior boundary.
         """
         start = self._region_for(positions)
         with_derivs = self.interp_method in (
@@ -94,7 +136,9 @@ class StreamedGridEvaluator:
         vals, derivs = self.stream.read_region(start, self.region_shape,
                                                with_derivatives=with_derivs)
         spacing = np.asarray(self.stream.spacing)
-        origin = np.asarray(self.stream.origin) + start * spacing
+        full_origin = np.asarray(self.stream.origin)
+        counts = np.asarray(self.stream.counts)
+        origin = full_origin + start * spacing
         grid = Grid.create(
             vals, spacing, origin,
             derivs=derivs,
@@ -103,31 +147,32 @@ class StreamedGridEvaluator:
             inv_power=self.inv_power,
             oob_k=self.oob_k,
         )
-        # NOTE on boundaries: the region grid's inside-test uses the region
-        # box. Atoms inside the full grid but outside the region cannot
-        # occur (region contains the cloud); atoms outside the FULL grid
-        # are also outside the region, and the restraint must measure
-        # distance to the FULL grid box — recompute it here.
-        res = evaluate_grid(grid, positions, scaling)
-        full_counts = np.asarray(self.stream.counts)
-        full_origin = np.asarray(self.stream.origin)
-        corner = full_origin + (full_counts - 1) * spacing
-        pos = np.asarray(positions)
-        inside_full = np.all((pos >= full_origin) & (pos <= corner), axis=1)
-        if np.all(inside_full):
-            return res
+        lo_h, hi_h = _HALO[self.interp_method]
+        last = start + np.asarray(self.region_shape) - 1
+        full_corner = full_origin + (counts - 1) * spacing
+        interior_lo = np.where(start > 0,
+                               full_origin + (start + lo_h) * spacing,
+                               full_origin)
+        interior_hi = np.where(last < counts - 1,
+                               full_origin + (last - hi_h) * spacing,
+                               full_corner)
+        return grid, (interior_lo, interior_hi)
+
+    def evaluate(self, positions, scaling):
+        """GridEval for the atoms against the streamed region.
+
+        Atoms outside the FULL grid get the standard restraint (measured
+        to the full grid box, not the region box); the region is chosen
+        to contain all inside atoms, so region-local evaluation matches
+        full-grid evaluation exactly for them.
+        """
         import jax.numpy as jnp
-        dev = np.where(pos < full_origin, pos - full_origin,
-                       np.where(pos > corner, pos - corner, 0.0))
-        e_oob = 0.5 * self.oob_k * np.sum(dev * dev, axis=1)
-        f_oob = -self.oob_k * dev
-        scaling = np.asarray(scaling)
-        active = inside_full & (scaling != 0.0)
-        per_atom = jnp.where(jnp.asarray(active),
-                             res.per_atom_energy, jnp.asarray(e_oob))
-        forces = jnp.where(jnp.asarray(active)[:, None], res.forces,
-                           jnp.asarray(f_oob))
-        return type(res)(jnp.sum(per_atom), forces, per_atom)
+
+        grid, _ = self.region_grid(positions)
+        full_origin, full_corner = self.full_box
+        return evaluate_streamed(grid, full_origin, full_corner,
+                                 jnp.asarray(positions),
+                                 jnp.asarray(scaling), self.oob_k)
 
     def cache_stats(self):
         return self.stream.cache_stats()

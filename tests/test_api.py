@@ -410,3 +410,71 @@ def test_minimize_energy():
     st = sim.context.getState(getEnergy=True, getForces=True)
     rms = float(np.sqrt((np.asarray(st.getForces()) ** 2).mean()))
     assert rms < 100.0  # near a local minimum
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_constrained_hbonds_simulation():
+    """create_system(constraints='HBonds') + 2 fs Langevin must hold every
+    constrained H-bond at its equilibrium length through MD (reference
+    workflow: python/tests/test_grid_force.py:67, example/sampler.py:503)."""
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    system = gfp.create_system(lig, hydrogen_mass=4.0,
+                               constraints="HBonds")
+    cset = system._core.constraints
+    assert cset is not None and cset.num_constraints > 0
+    # constrained bonds must be removed from the harmonic terms
+    n_bonds_all = load_prmtop(f"{DATA}/ligand.prmtop").bond_idx.shape[0]
+    assert system._core.bond_idx.shape[0] == \
+        n_bonds_all - cset.num_constraints
+
+    g = gfp.GridForce()
+    g.addGridCounts(8, 8, 8)
+    g.addGridSpacing(0.3, 0.3, 0.3)
+    g.setGridOrigin(*(crd.min(0) - 0.8))
+    g.setGridValues(RNG.standard_normal(512) * 0.1)
+    g.setScalingProperty("charge")
+    g.setAutoCalculateScalingFactors(True)
+    system.addForce(g)
+
+    ctx = gfp.Context(system, gfp.LangevinIntegrator(300.0, 5.0, 0.002))
+    ctx.setPositions(crd)
+    ctx.setVelocitiesToTemperature(300.0)
+    ctx.getIntegrator().step(500)
+
+    pos = ctx.getPositions()
+    idx = np.asarray(cset.idx)
+    d = np.linalg.norm(pos[idx[:, 0]] - pos[idx[:, 1]], axis=1)
+    np.testing.assert_allclose(d, np.asarray(cset.length), rtol=2e-5)
+    assert np.isfinite(
+        ctx.getState(getEnergy=True).getPotentialEnergy())
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_readme_quickstart(tmp_path):
+    """The README's compat-API Quick Start must run verbatim (modulo
+    file paths): loadFromFile + auto scaling + constraints + getIntegrator."""
+    src = gfp.GridForce()
+    src.addGridCounts(9, 9, 9)
+    src.addGridSpacing(0.25, 0.25, 0.25)
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    src.setGridOrigin(*(crd.min(0) - 0.7))
+    src.setGridType("charge")
+    src.setGridValues(RNG.standard_normal(9 ** 3) * 0.2)
+    path = str(tmp_path / "charge.grid")
+    src.saveToFile(path)
+
+    grid = gfp.GridForce()
+    grid.loadFromFile(path)
+    grid.setInterpolationMethod(1)
+    grid.setScalingProperty("charge")
+    grid.setAutoCalculateScalingFactors(True)
+    system = gfp.create_system(f"{DATA}/ligand.prmtop", hydrogen_mass=4.0,
+                               constraints="HBonds")
+    system.addForce(grid)
+    ctx = gfp.Context(system, gfp.LangevinIntegrator(300.0, 1.0, 0.002))
+    ctx.setPositions(crd)
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()
+    assert np.isfinite(e)
+    ctx.getIntegrator().step(1000)
+    assert np.all(np.isfinite(ctx.getPositions()))

@@ -87,3 +87,57 @@ def test_api_tiled_pipeline_end_to_end(tmp_path):
 
     assert g_tiled.getTiledInputFile() == out
     assert e_tiled == pytest.approx(e_mem, rel=2e-5, abs=1e-6)
+
+
+def test_streamed_md_stepping_trajectory_parity(tmp_path):
+    """MD stepping on a streamed (tiled-file) grid must produce the SAME
+    trajectory as the in-memory grid: Verlet is deterministic, the region
+    is exact within its interior, and the runner refreshes the region
+    between jitted segments (reference tiled execute loop,
+    CudaGridForceKernels.cpp:787-1028)."""
+    n_rec = 12
+    rec_top, q, sig, eps = _fake_receptor(n_rec)
+    rec_pos = RNG.uniform(0.0, 1.0, (n_rec, 3))
+    counts = (16, 16, 16)
+    spacing = 0.07
+
+    def build(tiled, out_path=None):
+        system = gfp.create_system(rec_top)
+        g = gfp.GridForce()
+        g.addGridCounts(*counts)
+        g.addGridSpacing(spacing, spacing, spacing)
+        g.setGridOrigin(0.0, 0.0, 0.0)
+        g.setAutoGenerateGrid(True)
+        g.setGridType("charge")
+        g.setReceptorAtoms(list(range(n_rec)))
+        g.setReceptorPositionsFromLists(rec_pos)
+        g.setScalingFactors(q * 0.05)
+        if tiled:
+            g.setTiledOutputFile(out_path, 8)
+            g.setTiledMode(True, tile_size=8)
+        system.addForce(g)
+        ctx = gfp.Context(system, gfp.VerletIntegrator(0.0005))
+        ctx.setPositions(rec_pos * 0.8 + 0.1)
+        return ctx
+
+    ctx_mem = build(False)
+    ctx_str = build(True, str(tmp_path / "md.tiled"))
+    ctx_str.stream_refresh_steps = 10   # force several region refreshes
+
+    ctx_mem.getIntegrator().step(35)
+    ctx_str.getIntegrator().step(35)
+    # the tiled FILE stores float32 values while the in-memory grid is
+    # float64, so trajectories agree to f32 grid precision, not bitwise
+    # (observed max |dx| ~2e-9 nm after 35 steps)
+    np.testing.assert_allclose(ctx_str.getPositions(),
+                               ctx_mem.getPositions(),
+                               rtol=1e-5, atol=1e-7)
+
+    # minimizeEnergy must also work on the streamed path
+    sim = gfp.Simulation(rec_top, ctx_str.system,
+                         ctx_str.integrator)
+    sim.context = ctx_str
+    e0 = ctx_str.getState(getEnergy=True).getPotentialEnergy()
+    sim.minimizeEnergy(maxIterations=30, tolerance=1.0)
+    e1 = ctx_str.getState(getEnergy=True).getPotentialEnergy()
+    assert e1 <= e0 + 1e-9
