@@ -16,7 +16,7 @@ Code written against the reference's SWIG module translates nearly 1:1:
 from .context import (ApiSystem, Context, HarmonicAngleForce,  # noqa: F401
                       HarmonicBondForce, LangevinIntegrator,
                       LangevinMiddleIntegrator, NonbondedForce,
-                      PeriodicTorsionForce, Simulation, State,
+                      PeriodicTorsionForce, Platform, Simulation, State,
                       VerletIntegrator, clearGridCache, create_system)
 from .gridforce import (Force, GridForce, InvPowerMode_NONE,  # noqa: F401
                         InvPowerMode_RUNTIME, InvPowerMode_STORED,

@@ -222,12 +222,33 @@ class _GridBindingInfo:
         self.interior = None            # (lo, hi) of the current region
 
 
+class Platform:
+    """Mirror of openmm.Platform. ``Reference`` selects the reference
+    platform's evaluation semantics (quirks Q1-Q5, Q12 — see
+    ops/reference_semantics.py); anything else (or None) selects the
+    engine's default CUDA/common-convention kernels."""
+
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+    @staticmethod
+    def getPlatformByName(name):
+        return Platform(name)
+
+
 class Context:
     def __init__(self, system: ApiSystem, integrator: _Integrator,
                  platform=None, seed: int = 0):
         self.system = system
         self.integrator = integrator
         integrator._context = self
+        name = (platform.getName() if hasattr(platform, "getName")
+                else platform)
+        self._semantics = ("reference"
+                           if str(name).lower() == "reference" else "cuda")
         self._positions: Optional[jax.Array] = None
         self._velocities: Optional[jax.Array] = None
         self._key = jax.random.PRNGKey(seed)
@@ -269,8 +290,13 @@ class Context:
                 raise ValueError(
                     "Auto-calculate scaling factors enabled but no scaling "
                     "property specified")
+            # Q5: the reference platform auto-scales with (2*sigma)
+            # diameter formulas (ReferenceGridForceKernels.cpp:196-205);
+            # CUDA/common use Rmin (CudaGridForceKernels.cpp:175-185)
             scaling = np.asarray(auto_scaling_factors(
-                prop, top.charges, top.sigmas, top.epsilons))
+                prop, top.charges, top.sigmas, top.epsilons,
+                convention=("diameter" if self._semantics == "reference"
+                            else "rmin")))
             force.setScalingFactors(scaling)
 
         # tiled generate -> evaluate pipeline (reference
@@ -337,6 +363,10 @@ class Context:
                 inv_power_mode=force.getInvPowerMode(),
                 interp_method=force.getInterpolationMethod(),
                 oob_k=force.getOutOfBoundsRestraint(),
+                # Q3: reference-platform generation uses 2*sigma LJ sizes
+                lj_convention=("diameter"
+                               if self._semantics == "reference"
+                               else "rmin"),
                 dtype=jnp.float64)
             force.setGridValues(np.asarray(grid.vals).reshape(-1))
             if grid.derivs is not None:
@@ -344,6 +374,20 @@ class Context:
                     np.moveaxis(np.asarray(grid.derivs), -1, 0).reshape(-1))
         else:
             grid = force._build_grid()
+
+        # Q4: the reference platform applies RUNTIME inverse-power as a
+        # one-time host-side value transform at Context init
+        # (GridForce.cpp:221-272: G -> sign(G)|G|^(1/n), mode -> STORED),
+        # then its kernels back-transform on inv_power > 0 alone
+        if (self._semantics == "reference" and grid is not None
+                and grid.inv_power_mode == 1 and grid.inv_power != 0.0
+                and grid.derivs is None):
+            import dataclasses as _dc
+            v = grid.vals
+            sign = jnp.where(v >= 0.0, 1.0, -1.0)
+            v2 = jnp.where(v != 0.0,
+                           sign * jnp.abs(v) ** (1.0 / grid.inv_power), v)
+            grid = _dc.replace(grid, vals=v2, inv_power_mode=2)
 
         # atom selection (priority mirrors CudaGridForceKernels.cpp:
         # particle groups > particle filter > ligand atoms > all)
@@ -431,12 +475,28 @@ class Context:
                     res = info.streamer.evaluate(
                         np.asarray(positions)[np.asarray(info.atom_indices)],
                         np.asarray(info.scaling))
+                elif self._semantics == "reference":
+                    from ..ops.reference_semantics import (
+                        evaluate_grid_reference)
+                    res = evaluate_grid_reference(
+                        info.grid if override is None else override,
+                        positions[info.atom_indices],
+                        info.scaling)
                 else:
                     res = evaluate_grid(
                         info.grid if override is None else override,
                         positions[info.atom_indices],
                         info.scaling)
-                f = jnp.zeros_like(positions).at[info.atom_indices].add(
+                # Q1: the reference platform writes grid forces to the
+                # LOOP index, not the particle index
+                # (ReferenceGridForceKernels.cpp:688 vs :794) — correct
+                # only when ligand atoms are 0..N-1; reproduced verbatim
+                # in reference semantics
+                tgt = (jnp.arange(info.atom_indices.shape[0])
+                       if (self._semantics == "reference"
+                           and info.streamer is None)
+                       else info.atom_indices)
+                f = jnp.zeros_like(positions).at[tgt].add(
                     jnp.asarray(res.forces, positions.dtype))
                 out[idx] = (jnp.asarray(res.energy, positions.dtype), f)
             elif isinstance(force, IsolatedNonbondedForce):

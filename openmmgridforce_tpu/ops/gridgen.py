@@ -53,12 +53,13 @@ def grid_point_positions(counts, spacing, origin, flat_index):
 
 
 def _values_at_points(points, grid_type, positions, charges, sigmas,
-                      epsilons, grid_cap):
+                      epsilons, grid_cap, lj_convention="rmin"):
     """Capped field values at points [..., 3]; receptor arrays [A]."""
     dr = points[..., None, :] - positions          # [..., A, 3]
     r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
     r = jnp.maximum(r, _R_MIN_VALUES)
-    contrib = radial.field_value(r, grid_type, charges, sigmas, epsilons)
+    contrib = radial.field_value(r, grid_type, charges, sigmas, epsilons,
+                                 lj_convention)
     total = jnp.sum(contrib, axis=-1)
     return tanh_cap_value(total, grid_cap)
 
@@ -68,7 +69,7 @@ _DERIV_ATOM_CHUNK = 512
 
 def _derivs_at_points(points, grid_type, positions, charges, sigmas,
                       epsilons, grid_cap, inv_power, inv_power_mode,
-                      spacing):
+                      spacing, lj_convention="rmin"):
     """All 27 cell-fractional derivatives at points [..., 3] -> [..., 27].
 
     Receptor atoms stream through fixed-size chunks under lax.scan so the
@@ -101,7 +102,8 @@ def _derivs_at_points(points, grid_type, positions, charges, sigmas,
         dr = points[..., None, :] - cpos           # [..., C, 3]
         r2 = jnp.sum(dr * dr, axis=-1)
         r2c = jnp.maximum(r2, _R2_MIN_DERIVS)
-        rad = radial.radial_derivatives(r2c, grid_type, cq, cs, ce)
+        rad = radial.radial_derivatives(r2c, grid_type, cq, cs, ce,
+                                        lj_convention)
         # per-component atom reduction: the [..., C, 27] tensor never
         # materializes (each slot fuses elementwise work into its own sum)
         cart = radial.radial_to_cartesian(dr, rad, reduce_axis=-1)
@@ -183,6 +185,7 @@ def generate_grid(counts,
                   oob_k: float = DEFAULT_OOB_K,
                   chunk_size: int = 262144,
                   backend: str = "jnp",
+                  lj_convention: str = "rmin",
                   dtype=jnp.float32) -> Grid:
     """Generate one receptor grid (optionally with 27 analytic derivatives).
 
@@ -224,7 +227,7 @@ def generate_grid(counts,
         pts = grid_point_positions(counts, spacing_arr, origin_arr,
                                    flat_index)
         vals = _values_at_points(pts, grid_type, positions, charges, sigmas,
-                                 epsilons, grid_cap)
+                                 epsilons, grid_cap, lj_convention)
         if inv_power != 0.0 and inv_power_mode != InvPowerMode.NONE:
             # values-only storage transform (gridGeneration.cu:350-361);
             # no 1e-10 dead zone on the generation side
@@ -237,9 +240,10 @@ def generate_grid(counts,
                                    flat_index)
         return _derivs_at_points(pts, grid_type, positions, charges, sigmas,
                                  epsilons, grid_cap, inv_power,
-                                 inv_power_mode, np.asarray(spacing))
+                                 inv_power_mode, np.asarray(spacing),
+                                 lj_convention)
 
-    use_pallas = (backend == "pallas"
+    use_pallas = (backend == "pallas" and lj_convention == "rmin"
                   and (compute_derivatives or inv_power == 0.0))
     if compute_derivatives and use_pallas:
         from .pallas_gridgen_derivs import generate_raw_derivs_pallas

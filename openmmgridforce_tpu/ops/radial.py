@@ -28,7 +28,19 @@ _COEF_M6 = (1.0, -6.0, 42.0, -336.0, 3024.0, -30240.0, 332640.0)
 _COEF_M12 = (1.0, -12.0, 156.0, -2184.0, 32760.0, -524160.0, 8910720.0)
 
 
-def radial_derivatives(r2, grid_type: str, charge, sigma, epsilon):
+def _lj_size(sigma, lj_convention: str):
+    """LJ size parameter: Rmin = 2^(1/6) sigma (CUDA/common convention,
+    gridGeneration.cu:283-294) or diameter = 2 sigma (reference-platform
+    convention, ReferenceGridForceKernels.cpp:529-535 — quirk Q3)."""
+    if lj_convention == "rmin":
+        return TWO_POW_ONE_SIXTH * sigma
+    if lj_convention == "diameter":
+        return 2.0 * sigma
+    raise ValueError(f"unknown lj convention {lj_convention!r}")
+
+
+def radial_derivatives(r2, grid_type: str, charge, sigma, epsilon,
+                       lj_convention: str = "rmin"):
     """[..., 7] radial derivatives [U, U', ..., U^(6)] of the field of one
     receptor atom at squared distance r2 (already clamped by the caller)."""
     r = jnp.sqrt(r2)
@@ -37,12 +49,12 @@ def radial_derivatives(r2, grid_type: str, charge, sigma, epsilon):
         K = COULOMB_CONST * charge
         m, coefs = 1, _COEF_M1
     elif grid_type == "ljr":
-        rmin = TWO_POW_ONE_SIXTH * sigma
-        K = jnp.sqrt(epsilon) * rmin ** 6
+        d = _lj_size(sigma, lj_convention)
+        K = jnp.sqrt(epsilon) * d ** 6
         m, coefs = 12, _COEF_M12
     elif grid_type == "lja":
-        rmin = TWO_POW_ONE_SIXTH * sigma
-        K = -2.0 * jnp.sqrt(epsilon) * rmin ** 3
+        d = _lj_size(sigma, lj_convention)
+        K = -2.0 * jnp.sqrt(epsilon) * d ** 3
         m, coefs = 6, _COEF_M6
     else:
         raise ValueError(f"unknown grid type {grid_type!r}")
@@ -138,15 +150,17 @@ def radial_to_cartesian(dr, rad, reduce_axis=None):
     return jnp.stack([red(t) for t in out], axis=-1)
 
 
-def field_value(r, grid_type: str, charge, sigma, epsilon):
+def field_value(r, grid_type: str, charge, sigma, epsilon,
+                lj_convention: str = "rmin"):
     """Raw (uncapped) field value at distance r — the values-only path
-    (reference gridGeneration.cu:274-296)."""
+    (reference gridGeneration.cu:274-296; lj_convention="diameter" gives
+    the reference platform's 2*sigma form, quirk Q3)."""
     if grid_type == "charge":
         return COULOMB_CONST * charge / r
     if grid_type == "ljr":
-        rmin = TWO_POW_ONE_SIXTH * sigma
-        return jnp.sqrt(epsilon) * rmin ** 6 / r ** 12
+        d = _lj_size(sigma, lj_convention)
+        return jnp.sqrt(epsilon) * d ** 6 / r ** 12
     if grid_type == "lja":
-        rmin = TWO_POW_ONE_SIXTH * sigma
-        return -2.0 * jnp.sqrt(epsilon) * rmin ** 3 / r ** 6
+        d = _lj_size(sigma, lj_convention)
+        return -2.0 * jnp.sqrt(epsilon) * d ** 3 / r ** 6
     raise ValueError(f"unknown grid type {grid_type!r}")
