@@ -370,6 +370,94 @@ class Sampler:
         return self._genetic_trial(splice=True, energies=energies)
 
     # ------------------------------------------------------------------
+    def _candidate_energies(self, cands: np.ndarray) -> np.ndarray:
+        """Energies of M candidate conformations in ceil(M/R) batched
+        dispatches, reusing the ladder-shaped jitted energy kernel (and
+        its sharding) by padding each chunk to R replicas."""
+        M = len(cands)
+        R = self.config.n_states
+        dtype = self.states.positions.dtype
+        out = np.empty(M, dtype=float)
+        for s in range(0, M, R):
+            chunk = cands[s:s + R]
+            m = len(chunk)
+            if m < R:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], R - m, axis=0)])
+            e = np.asarray(self._energies(
+                self._put(jnp.asarray(chunk, dtype))))
+            out[s:s + m] = e[:m]
+        return out
+
+    def genetic_sweep(self, n_pairs: int, energies=None) -> int:
+        """``n_pairs`` (crossover, mutation) genetic-MC pairs with ALL
+        candidate energies evaluated in one batched dispatch.
+
+        The serial loop costs two BAT round-trips plus one ~31 ms
+        tunneled energy dispatch per move; here every move is proposed
+        host-side from the pre-sweep ladder, the 2*n_pairs candidates go
+        through ONE ladder-shaped batched energy call, and Metropolis
+        decisions are applied host-side in order. A move whose source or
+        donor replica was already modified by an earlier acceptance in
+        the same sweep is re-proposed from the current state (serial
+        fallback, one extra dispatch) so the acceptance rule sees exactly
+        the energies the serial algorithm would.
+        """
+        if self._zmatrix is None:
+            raise RuntimeError("genetic MC needs bonds= at construction")
+        pos = np.array(self.states.positions)
+        if energies is None:
+            energies = self.potential_energies()
+        energies = np.asarray(energies, dtype=float)
+        n_t = len(self._zmatrix)
+        off = 9 + 2 * n_t
+
+        moves = []
+        for _ in range(int(n_pairs)):
+            for splice in (True, False):   # crossover, then mutation
+                isel, jsel = self._pick_low_high()
+                icut = int(self._rng.integers(n_t))
+                moves.append((splice, isel, jsel, icut))
+
+        def propose(splice, isel, jsel, icut, base):
+            bi = bat.xyz_to_bat(base[isel], self._zmatrix, self._primary)
+            bj = bat.xyz_to_bat(base[jsel], self._zmatrix, self._primary)
+            if splice:
+                bi[off + icut:] = bj[off + icut:]
+            else:
+                bi[off + icut] = bj[off + icut]
+            return bat.bat_to_xyz(bi, self._zmatrix, self._primary)
+
+        cands = np.asarray([propose(*mv, pos) for mv in moves],
+                           dtype=pos.dtype)
+        e_new = self._candidate_energies(cands)
+
+        n_acc = 0
+        touched: set = set()
+        for k, (splice, isel, jsel, icut) in enumerate(moves):
+            self.n_gmc_attempted += 1
+            xyz_k, e_k = cands[k], e_new[k]
+            if isel in touched or jsel in touched:
+                # stale proposal: an earlier acceptance in this sweep
+                # changed a replica this move reads — redo serially
+                xyz_k = propose(splice, isel, jsel, icut, pos)
+                e_k = float(self._energy1(jnp.asarray(xyz_k, pos.dtype)))
+            log_ratio = -self.betas[isel] * (e_k - energies[isel])
+            accept = (0 <= log_ratio < (30 if splice else 50)
+                      or (log_ratio < 0
+                          and self._rng.random() < np.exp(log_ratio)))
+            if accept:
+                n_acc += 1
+                self.n_gmc_accepted += 1
+                pos[isel] = xyz_k
+                energies[isel] = e_k
+                touched.add(isel)
+        if n_acc:
+            self.states = self.states._replace(
+                positions=self._put(jnp.asarray(pos)))
+        return n_acc
+
+    # ------------------------------------------------------------------
     def run(self, n_trials: int, n_exchange_per_trial: int = 5,
             n_gmc_per_trial: int = 0, md_steps: Optional[int] = None,
             callback=None):
@@ -378,10 +466,7 @@ class Sampler:
             if n_exchange_per_trial > 0:
                 self.replica_exchange_sweep(n_exchange_per_trial)
             if n_gmc_per_trial > 0:
-                energies = self.potential_energies()
-                for _ in range(n_gmc_per_trial):
-                    self.genetic_crossover(energies)
-                    self.genetic_mutation(energies)
+                self.genetic_sweep(n_gmc_per_trial)
             self.run_md(md_steps)
             if callback is not None:
                 callback(trial, self)

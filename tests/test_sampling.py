@@ -234,3 +234,47 @@ def test_sampler_dp_sp_constrained_matches_single_device(ligand):
                                np.asarray(ref.states.positions),
                                rtol=0, atol=1e-12)
     assert shd.n_exchange_accepted == ref.n_exchange_accepted
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_genetic_sweep_batched_bookkeeping(ligand):
+    """genetic_sweep batches candidate energies into one dispatch; its
+    acceptance bookkeeping must be self-consistent: every accepted
+    replica's stored energy equals a fresh recomputation, rejected
+    replicas are untouched, and counters add up."""
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=6, t_high=2000.0, t_min=300.0,
+                           dt=0.001, friction=5.0, seed=3)
+    sampler = Sampler(system, [], jnp.asarray(crd), config,
+                      bonds=[tuple(b) for b in top.bond_idx])
+    # decorrelate replicas first so moves are non-trivial
+    sampler.run_md(50)
+    pos_before = np.array(sampler.states.positions)
+    e_before = sampler.potential_energies()
+
+    n_acc = sampler.genetic_sweep(4)   # 8 moves in <=2 batched dispatches
+    assert sampler.n_gmc_attempted == 8
+    assert sampler.n_gmc_accepted == n_acc
+
+    pos_after = np.array(sampler.states.positions)
+    e_after = sampler.potential_energies()
+    changed = [r for r in range(6)
+               if not np.allclose(pos_after[r], pos_before[r])]
+    assert len(changed) <= n_acc
+    for r in range(6):
+        if r not in changed:
+            np.testing.assert_array_equal(pos_after[r], pos_before[r])
+            np.testing.assert_allclose(e_after[r], e_before[r], rtol=1e-9)
+    assert np.all(np.isfinite(e_after))
+    # geometry integrity: bonds survived the BAT surgery
+    from openmmgridforce_tpu.sampling import build_zmatrix, xyz_to_bat
+    z, primary = build_zmatrix(top.masses, [tuple(b) for b in top.bond_idx])
+    for r in changed:
+        b_old = xyz_to_bat(pos_before[r], z, primary)
+        b_new = xyz_to_bat(pos_after[r], z, primary)
+        n = len(z)
+        # bond lengths (first of each z-row triple) stay identical: only
+        # torsions are spliced between replicas
+        np.testing.assert_allclose(b_new[9:9 + n], b_old[9:9 + n],
+                                   atol=1e-7)
