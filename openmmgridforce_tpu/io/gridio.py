@@ -57,10 +57,12 @@ def write_netcdf(filename, counts, spacing, vals,
         vals_var[0, :] = vals
 
 
-def read_dx(filename):
+def read_dx(filename, to_nm=False):
     """Read an OpenDX grid -> dict(counts, spacing, origin, vals).
 
-    Values are returned in file units (no conversion)."""
+    ``to_nm=True`` converts origin/spacing Angstrom -> nm (the inverse of
+    write_dx's default nm -> Angstrom; grid VALUES are untouched, matching
+    reference python/grid_io.py which never converts values)."""
     opener = gzip.open if filename.endswith(".gz") else open
     with opener(filename, "rt") as fh:
         line = fh.readline()
@@ -83,10 +85,11 @@ def read_dx(filename):
             items = [float(x) for x in line.split()]
             vals[idx:idx + len(items)] = items
             idx += len(items)
+    scale = 0.1 if to_nm else 1.0
     return {
-        "origin": np.array(header["origin"]),
+        "origin": np.array(header["origin"]) * scale,
         "spacing": np.array([header["d0"][0], header["d1"][1],
-                             header["d2"][2]]),
+                             header["d2"][2]]) * scale,
         "counts": np.array(counts),
         "vals": vals,
     }

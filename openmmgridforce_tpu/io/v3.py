@@ -79,6 +79,38 @@ def save_v3(path, counts, spacing, origin, vals, derivs=None, grid_type="",
             fh.write(vals.tobytes())
 
 
+def save_v3_griddata(path, counts, spacing, origin, vals, derivs=None,
+                     inv_power=0.0, inv_power_mode=0):
+    """Write the GridData container's V3 variant (reference
+    openmmapi/src/GridData.cpp:180-265): header with deriv_count=0 and
+    grid_type=0, VALUES (never the [27,...] block), a legacy
+    compatibility block (i32 numScalingFactors=0 + origin f64 x3), and —
+    when derivatives are present — a ``DERIVS`` trailer
+    (8 bytes {'D','E','R','I','V','S',0,27} + 27*n f64)."""
+    nx, ny, nz = (int(c) for c in counts)
+    n = nx * ny * nz
+    vals = np.asarray(vals, dtype=np.float64).reshape(n)
+    header = bytearray(HEADER_SIZE)
+    struct.pack_into("<8sII", header, 0, MAGIC, VERSION, HEADER_SIZE)
+    struct.pack_into("<iiiI", header, 16, nx, ny, nz, 0)
+    struct.pack_into("<dddQ", header, 32, float(spacing[0]),
+                     float(spacing[1]), float(spacing[2]), HEADER_SIZE)
+    struct.pack_into("<dddII", header, 64, float(origin[0]),
+                     float(origin[1]), float(origin[2]), 0, 0)
+    struct.pack_into("<dI", header, 96, float(inv_power),
+                     int(inv_power_mode))
+    with open(path, "wb") as fh:
+        fh.write(header)
+        fh.write(vals.tobytes())
+        fh.write(struct.pack("<i", 0))                    # scaling count
+        fh.write(struct.pack("<ddd", float(origin[0]), float(origin[1]),
+                             float(origin[2])))
+        if derivs is not None:
+            d = np.asarray(derivs, dtype=np.float64).reshape(27 * n)
+            fh.write(b"DERIVS\x00\x1b")                   # tag + 0 + 27
+            fh.write(d.tobytes())
+
+
 def load_v3(path) -> GridFileData:
     with open(path, "rb") as fh:
         raw = fh.read()

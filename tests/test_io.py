@@ -151,3 +151,52 @@ def test_nc_converter_units(tmp_path):
     d = load_v3(out)
     np.testing.assert_allclose(d.spacing, np.asarray(spacing_a) * 0.1)
     np.testing.assert_allclose(d.vals.reshape(-1), vals_kcal * 4.184)
+
+
+def test_v3_griddata_variant_roundtrip(tmp_path):
+    """The GridData container writes values + legacy block + DERIVS
+    trailer (GridData.cpp:180-265); our loader must read it back
+    identically, derivatives included."""
+    from openmmgridforce_tpu.io import load_v3, save_v3_griddata
+
+    rng = np.random.default_rng(5)
+    counts = (4, 3, 5)
+    n = 60
+    vals = rng.standard_normal(counts)
+    derivs = rng.standard_normal((27,) + counts)
+    p = str(tmp_path / "gd.grid")
+    save_v3_griddata(p, counts, (0.1, 0.2, 0.3), (1.0, 2.0, 3.0), vals,
+                     derivs=derivs, inv_power=2.0, inv_power_mode=2)
+    d = load_v3(p)
+    assert d.counts == counts
+    np.testing.assert_array_equal(d.vals, vals)
+    np.testing.assert_array_equal(d.derivs, derivs)
+    assert d.origin == (1.0, 2.0, 3.0)
+    assert d.inv_power == 2.0 and d.inv_power_mode == 2
+    # trailer byte layout: tag + {0, 27} big-endian count
+    raw = open(p, "rb").read()
+    off = 128 + 8 * n + 4 + 24
+    assert raw[off:off + 8] == b"DERIVS\x00\x1b"
+
+    # values-only variant (no trailer) also round-trips
+    p2 = str(tmp_path / "gd2.grid")
+    save_v3_griddata(p2, counts, (0.1, 0.2, 0.3), (0.0, 0.0, 0.0), vals)
+    d2 = load_v3(p2)
+    np.testing.assert_array_equal(d2.vals, vals)
+    assert d2.derivs is None
+
+
+def test_read_dx_to_nm_inverts_write(tmp_path):
+    from openmmgridforce_tpu.io.gridio import read_dx, write_dx
+
+    rng = np.random.default_rng(6)
+    counts = (3, 4, 5)
+    vals = rng.standard_normal(60)
+    p = str(tmp_path / "g.dx.gz")
+    write_dx(p, counts, (0.05, 0.06, 0.07), vals, origin=(0.4, 0.5, 0.6))
+    d_file = read_dx(p)                 # file units (Angstrom)
+    np.testing.assert_allclose(d_file["spacing"], [0.5, 0.6, 0.7])
+    d_nm = read_dx(p, to_nm=True)       # back to nm
+    np.testing.assert_allclose(d_nm["spacing"], [0.05, 0.06, 0.07])
+    np.testing.assert_allclose(d_nm["origin"], [0.4, 0.5, 0.6])
+    np.testing.assert_allclose(d_nm["vals"], vals, rtol=1e-5)
