@@ -16,8 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interpolate import evaluate_grid
-from ..ops.packed import (MultiPackedGrid, PackedGrid,
-                          evaluate_multi, evaluate_packed)
+from ..ops.packed import (HermitePackedGrid, MultiPackedGrid, PackedGrid,
+                          evaluate_hermite_packed, evaluate_multi,
+                          evaluate_packed)
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
 from .constraints import ConstraintSet, constraints_from_bonds
@@ -152,6 +153,8 @@ def _eval_grid(grid, positions, scaling):
         return evaluate_multi(grid, positions, scaling)  # scaling [G, N]
     if isinstance(grid, PackedGrid):
         return evaluate_packed(grid, positions, scaling)
+    if isinstance(grid, HermitePackedGrid):
+        return evaluate_hermite_packed(grid, positions, scaling)
     return evaluate_grid(grid, positions, scaling)
 
 

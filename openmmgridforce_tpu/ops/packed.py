@@ -27,10 +27,14 @@ reach ~1e8-1e10 while cell values stay ~1e4, so float32 evaluation of the
 coefficient form carries ~1 kJ/mol absolute error near receptor cores —
 the SAME conditioning class as the reference CUDA kernel's per-atom
 a = 0.125*M*X in float32 (gridForce.cu:285-294; its tests gate at 2-5%).
-For tighter accuracy use the direct tensor-product Hermite path
-(ops.interpolate.evaluate_grid, ~1e-7 relative in f32: the Hermite basis
-is bounded on [0,1]) or pack in float64. Degree <= 3 methods (trilinear,
-B-spline, tricubic) are well-conditioned in either form.
+For tighter accuracy use the HERMITE-PACKED form below
+(pack_grid_hermite/evaluate_hermite_packed: the SAME single row gather
+per atom, but corner-derivative rows evaluated in the bounded Hermite
+basis — measured 5.7e-7 relative in f32 on a steep capped LJR field
+where the monomial pack carries 5.8e-6), the direct tensor-product
+Hermite path (ops.interpolate.evaluate_grid), or pack in float64.
+Degree <= 3 methods (trilinear, B-spline, tricubic) are
+well-conditioned in either form.
 """
 
 from __future__ import annotations
@@ -530,4 +534,153 @@ def evaluate_multi(multi: MultiPackedGrid, positions, scaling_factors):
     per_atom = per_atom + jnp.where(
         oob, 0.5 * multi.oob_k * jnp.sum(dev * dev, axis=-1), 0.0)
     forces = force_in + jnp.where(oob[..., None], -multi.oob_k * dev, 0.0)
+    return GridEval(jnp.sum(per_atom), forces, per_atom)
+
+
+# ----------------------------------------------------------------------
+# Hermite-packed grids: one row gather per atom, BOUNDED basis.
+#
+# The monomial packed form above is ill-conditioned for triquintic in
+# float32 (module docstring). Packing the 8 corners' derivative vectors
+# per CELL instead keeps the single coalesced row gather (the thing TPU
+# gathers are priced on) while evaluating in the Hermite basis, whose
+# weights are bounded on [0,1] — float32 stays ~1e-7 relative even on
+# steep capped receptor fields. This is the accuracy-tier fast path for
+# tricubic/triquintic; degree <= 3 methods don't need it.
+# ----------------------------------------------------------------------
+
+from .derivatives27 import TRICUBIC_DERIV_MAP  # noqa: E402
+from .interpolate import (_AX, _AX3, _AY, _AY3, _AZ, _AZ3,  # noqa: E402
+                          _hermite_tensor_eval)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HermitePackedGrid:
+    """Per-cell corner-derivative rows plus evaluation config."""
+
+    coeffs: jax.Array            # [ncells, 8*D] (D = 8 or 27)
+    spacing: jax.Array           # [3]
+    origin: jax.Array            # [3]
+    counts: tuple = dataclasses.field(default=(0, 0, 0),
+                                      metadata=dict(static=True))
+    method: int = dataclasses.field(
+        default=int(InterpolationMethod.TRIQUINTIC),
+        metadata=dict(static=True))
+    back_power: float = dataclasses.field(default=0.0,
+                                          metadata=dict(static=True))
+    oob_k: float = dataclasses.field(default=0.0,
+                                     metadata=dict(static=True))
+
+    @property
+    def cell_counts(self):
+        nx, ny, nz = self.counts
+        return (nx - 1, ny - 1, nz - 1)
+
+
+@partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
+                                   "counts"))
+def _pack_hermite_rows(derivs27, method, runtime_inv, inv_power, counts):
+    nx, ny, nz = counts
+    ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+    D27 = derivs27
+    if runtime_inv:
+        D27 = apply_invpower(D27, 1.0 / inv_power)
+    if method == InterpolationMethod.TRICUBIC:
+        D = D27[..., list(TRICUBIC_DERIV_MAP)]     # [nx,ny,nz,8]
+    else:
+        D = D27                                     # [nx,ny,nz,27]
+    corners = []
+    from .interpolate import _CORNER_CX, _CORNER_CY, _CORNER_CZ
+    for cx, cy, cz in zip(_CORNER_CX, _CORNER_CY, _CORNER_CZ):
+        corners.append(D[cx:cx + ncx, cy:cy + ncy, cz:cz + ncz])
+    X = jnp.stack(corners, axis=3)                  # [i,j,k,8,D]
+    return X.reshape(ncx * ncy * ncz, -1)
+
+
+def pack_grid_hermite(grid: Grid, dtype=None) -> HermitePackedGrid:
+    """Pack a Hermite-method Grid into per-cell corner-derivative rows."""
+    method = int(grid.interp_method)
+    if method not in (int(InterpolationMethod.TRICUBIC),
+                      int(InterpolationMethod.TRIQUINTIC)):
+        raise ValueError("pack_grid_hermite is for tricubic/triquintic")
+    if grid.derivs is None:
+        raise ValueError("Hermite methods need precomputed derivatives")
+    dtype = dtype or grid.vals.dtype
+    back_power = 0.0
+    if grid.inv_power_mode in (InvPowerMode.RUNTIME, InvPowerMode.STORED) \
+            and grid.inv_power != 0.0:
+        back_power = grid.inv_power
+    runtime_inv = (grid.inv_power_mode == InvPowerMode.RUNTIME
+                   and grid.inv_power != 0.0)
+    coeffs = _pack_hermite_rows(jnp.asarray(grid.derivs, dtype=dtype),
+                                method=method, runtime_inv=runtime_inv,
+                                inv_power=grid.inv_power,
+                                counts=grid.counts)
+    return HermitePackedGrid(
+        coeffs=coeffs,
+        spacing=jnp.asarray(grid.spacing, dtype=dtype),
+        origin=jnp.asarray(grid.origin, dtype=dtype),
+        counts=grid.counts,
+        method=method,
+        back_power=back_power,
+        oob_k=grid.oob_k,
+    )
+
+
+def evaluate_hermite_packed(hp: HermitePackedGrid, positions,
+                            scaling_factors) -> GridEval:
+    """Energy/forces via the Hermite-packed representation (same
+    clamping/restraint/back-transform semantics as evaluate_packed)."""
+    dtype = hp.coeffs.dtype
+    positions = jnp.asarray(positions, dtype=dtype)
+    scaling = jnp.asarray(scaling_factors, dtype=dtype)
+
+    pos = positions - hp.origin
+    counts = jnp.asarray(hp.counts, dtype=dtype)
+    corner = hp.spacing * (counts - 1.0)
+    inside = jnp.all((pos >= 0.0) & (pos <= corner), axis=-1)
+
+    icounts = jnp.asarray(hp.counts)
+    t = pos / hp.spacing
+    ixyz = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, icounts - 2)
+    f = jnp.clip(t - ixyz, 0.0, 1.0)
+
+    ncx, ncy, ncz = hp.cell_counts
+    cell = (ixyz[..., 0] * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
+    rows = jnp.take(hp.coeffs, cell, axis=0)       # [N, 8*D]
+    X = rows.reshape(rows.shape[:-1] + (8, -1))    # [N, 8, D]
+
+    if hp.method == int(InterpolationMethod.TRICUBIC):
+        interp, grad_s = _hermite_tensor_eval(
+            X, f, basis.hermite3_weights, basis.hermite3_derivs,
+            _AX3, _AY3, _AZ3)
+    else:
+        interp, grad_s = _hermite_tensor_eval(
+            X, f, basis.hermite5_weights, basis.hermite5_derivs,
+            _AX, _AY, _AZ)
+
+    if hp.back_power != 0.0:
+        n = hp.back_power
+        sign = jnp.where(interp >= 0.0, 1.0, -1.0)
+        a = jnp.abs(interp)
+        active_bp = a > 1e-10
+        a_safe = jnp.where(active_bp, a, 1.0)
+        pf = n * a_safe ** (n - 1.0)
+        interp = jnp.where(active_bp, sign * a_safe ** n, interp)
+        grad_s = jnp.where(active_bp[..., None], grad_s * pf[..., None],
+                           grad_s)
+
+    grad_phys = grad_s / hp.spacing
+    energy_in = scaling * interp
+    force_in = -scaling[..., None] * grad_phys
+
+    dev = jnp.where(pos < 0.0, pos,
+                    jnp.where(pos > corner, pos - corner, 0.0))
+    energy_oob = 0.5 * hp.oob_k * jnp.sum(dev * dev, axis=-1)
+    force_oob = -hp.oob_k * dev
+
+    active = inside & (scaling != 0.0)
+    per_atom = jnp.where(active, energy_in, energy_oob)
+    forces = jnp.where(active[..., None], force_in, force_oob)
     return GridEval(jnp.sum(per_atom), forces, per_atom)
