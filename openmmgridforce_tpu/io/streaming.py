@@ -76,6 +76,12 @@ class StreamedGridEvaluator:
                                else int(inv_power_mode))
         self.inv_power = (self.stream.inv_power if inv_power is None
                           else float(inv_power))
+        # last-region cache: (grid, (interior_lo, interior_hi)); reused
+        # whenever the next call's cloud still fits the interior, so a
+        # stationary or slowly-drifting cloud costs zero file reads
+        self._cached = None
+        self.region_hits = 0
+        self.region_misses = 0
         if self.interp_method in (InterpolationMethod.TRICUBIC,
                                   InterpolationMethod.TRIQUINTIC) \
                 and not self.stream.has_derivatives:
@@ -129,7 +135,21 @@ class StreamedGridEvaluator:
         interior extends to the full-grid boundary wherever the region
         touches it. Segment runners refresh the region whenever the atom
         cloud approaches the interior boundary.
+
+        Reuses the previous region (no file read, no new device buffer)
+        when every in-grid atom still lies inside its exact interior —
+        a stationary or slowly-drifting cloud then costs zero I/O.
         """
+        if self._cached is not None:
+            cgrid, (ilo, ihi) = self._cached
+            pos = np.asarray(positions)
+            full_lo, full_hi = self.full_box
+            in_full = np.all((pos >= full_lo) & (pos <= full_hi), axis=1)
+            if np.all(np.all((pos >= ilo) & (pos <= ihi), axis=1)
+                      | ~in_full):
+                self.region_hits += 1
+                return self._cached
+        self.region_misses += 1
         start = self._region_for(positions)
         with_derivs = self.interp_method in (
             InterpolationMethod.TRICUBIC, InterpolationMethod.TRIQUINTIC)
@@ -156,7 +176,8 @@ class StreamedGridEvaluator:
         interior_hi = np.where(last < counts - 1,
                                full_origin + (last - hi_h) * spacing,
                                full_corner)
-        return grid, (interior_lo, interior_hi)
+        self._cached = (grid, (interior_lo, interior_hi))
+        return self._cached
 
     def evaluate(self, positions, scaling):
         """GridEval for the atoms against the streamed region.

@@ -133,6 +133,13 @@ def test_streamed_md_stepping_trajectory_parity(tmp_path):
                                ctx_mem.getPositions(),
                                rtol=1e-5, atol=1e-7)
 
+    # region reuse: the cloud barely moves, so most of the 4 segment
+    # refreshes must hit the cached region (zero file I/O)
+    streamer = next(i.streamer for i in ctx_str._grid_infos.values()
+                    if i.streamer is not None)
+    assert streamer.region_hits >= 2, (streamer.region_hits,
+                                       streamer.region_misses)
+
     # minimizeEnergy must also work on the streamed path
     sim = gfp.Simulation(rec_top, ctx_str.system,
                          ctx_str.integrator)
