@@ -16,9 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interpolate import evaluate_grid
-from ..ops.packed import (HermitePackedGrid, MultiPackedGrid, PackedGrid,
-                          evaluate_hermite_packed, evaluate_multi,
-                          evaluate_packed)
+from ..ops.packed import (HermitePackedGrid, MultiHermitePackedGrid,
+                          MultiPackedGrid, PackedGrid,
+                          evaluate_hermite_multi, evaluate_hermite_packed,
+                          evaluate_multi, evaluate_packed)
 from ..ops.pairwise import PairTable, build_pair_table, pair_energy_forces
 from .amber import AmberTopology
 from .constraints import ConstraintSet, constraints_from_bonds
@@ -151,6 +152,8 @@ class GridBinding:
 def _eval_grid(grid, positions, scaling):
     if isinstance(grid, MultiPackedGrid):
         return evaluate_multi(grid, positions, scaling)  # scaling [G, N]
+    if isinstance(grid, MultiHermitePackedGrid):
+        return evaluate_hermite_multi(grid, positions, scaling)
     if isinstance(grid, PackedGrid):
         return evaluate_packed(grid, positions, scaling)
     if isinstance(grid, HermitePackedGrid):

@@ -684,3 +684,128 @@ def evaluate_hermite_packed(hp: HermitePackedGrid, positions,
     per_atom = jnp.where(active, energy_in, energy_oob)
     forces = jnp.where(active[..., None], force_in, force_oob)
     return GridEval(jnp.sum(per_atom), forces, per_atom)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiHermitePackedGrid:
+    """G Hermite-packed grids fused into one row table [ncells,
+    pad(G*8*D)]: one gather per atom serves every co-located grid in the
+    accuracy-tier (bounded-basis) representation."""
+
+    coeffs: jax.Array
+    spacing: jax.Array
+    origin: jax.Array
+    counts: tuple = dataclasses.field(default=(0, 0, 0),
+                                      metadata=dict(static=True))
+    method: int = dataclasses.field(
+        default=int(InterpolationMethod.TRIQUINTIC),
+        metadata=dict(static=True))
+    n_grids: int = dataclasses.field(default=1, metadata=dict(static=True))
+    back_powers: tuple = dataclasses.field(default=(),
+                                           metadata=dict(static=True))
+    oob_k: float = dataclasses.field(default=0.0,
+                                     metadata=dict(static=True))
+
+    @property
+    def num_grids(self) -> int:
+        return self.n_grids
+
+    @property
+    def cell_counts(self):
+        nx, ny, nz = self.counts
+        return (nx - 1, ny - 1, nz - 1)
+
+
+def combine_hermite_packed(hps, lane_pad: int = 128
+                           ) -> MultiHermitePackedGrid:
+    """Fuse HermitePackedGrids with identical geometry/method."""
+    first = hps[0]
+    for p in hps[1:]:
+        if (p.counts != first.counts or p.method != first.method
+                or p.oob_k != first.oob_k):
+            raise ValueError("grids must share counts/method/oob_k to fuse")
+    G = len(hps)
+    K = first.coeffs.shape[-1]
+    ncells = first.coeffs.shape[0]
+    flat = jnp.concatenate([p.coeffs for p in hps], axis=-1)
+    width = G * K
+    padded = -(-width // lane_pad) * lane_pad
+    if padded != width:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((ncells, padded - width), flat.dtype)],
+            axis=-1)
+    return MultiHermitePackedGrid(
+        coeffs=flat, spacing=first.spacing, origin=first.origin,
+        counts=first.counts, method=first.method, n_grids=G,
+        back_powers=tuple(p.back_power for p in hps), oob_k=first.oob_k)
+
+
+def evaluate_hermite_multi(multi: MultiHermitePackedGrid, positions,
+                           scaling_factors) -> GridEval:
+    """All fused Hermite-packed grids with one gather per atom.
+
+    ``scaling_factors``: [G, N]. The OOB restraint applies once per fused
+    set (same convention as evaluate_multi)."""
+    dtype = multi.coeffs.dtype
+    positions = jnp.asarray(positions, dtype=dtype)
+    scaling = jnp.asarray(scaling_factors, dtype=dtype)  # [G, N]
+
+    pos = positions - multi.origin
+    counts = jnp.asarray(multi.counts, dtype=dtype)
+    corner = multi.spacing * (counts - 1.0)
+    inside = jnp.all((pos >= 0.0) & (pos <= corner), axis=-1)
+
+    icounts = jnp.asarray(multi.counts)
+    t = pos / multi.spacing
+    ixyz = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, icounts - 2)
+    f = jnp.clip(t - ixyz, 0.0, 1.0)
+
+    ncx, ncy, ncz = multi.cell_counts
+    cell = (ixyz[..., 0] * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
+    G = multi.n_grids
+    D = (8 if multi.method == int(InterpolationMethod.TRICUBIC) else 27)
+    K = 8 * D
+    rows = jnp.take(multi.coeffs, cell, axis=0)[..., :G * K]
+    X = rows.reshape(rows.shape[:-1] + (G, 8, D))      # [N, G, 8, D]
+
+    if multi.method == int(InterpolationMethod.TRICUBIC):
+        fams = (basis.hermite3_weights, basis.hermite3_derivs,
+                _AX3, _AY3, _AZ3)
+    else:
+        fams = (basis.hermite5_weights, basis.hermite5_derivs,
+                _AX, _AY, _AZ)
+
+    def one_grid(Xg):                                   # [N, 8, D]
+        return _hermite_tensor_eval(Xg, f, *fams)
+
+    interp, grad_s = jax.vmap(one_grid, in_axes=-3,
+                              out_axes=(-1, -2))(X)
+    # interp [N, G]; grad_s [N, G, 3]
+
+    if any(bp != 0.0 for bp in multi.back_powers):
+        bps = jnp.asarray(multi.back_powers, dtype=dtype)
+        enabled = jnp.asarray([bp != 0.0 for bp in multi.back_powers])
+        sign = jnp.where(interp >= 0.0, 1.0, -1.0)
+        a = jnp.abs(interp)
+        act = (a > 1e-10) & enabled
+        a_safe = jnp.where(act, a, 1.0)
+        pf = jnp.where(act, bps * a_safe ** (bps - 1.0), 1.0)
+        interp = jnp.where(act, sign * a_safe ** bps, interp)
+        grad_s = grad_s * pf[..., None]
+
+    grad_phys = grad_s / multi.spacing
+    s_t = jnp.moveaxis(scaling, 0, -1)                  # [N, G]
+    active = inside[..., None] & (s_t != 0.0)
+    per_atom = jnp.sum(jnp.where(active, s_t * interp, 0.0), axis=-1)
+    force_in = -jnp.sum(jnp.where(active[..., None],
+                                  s_t[..., None] * grad_phys, 0.0),
+                        axis=-2)
+
+    dev = jnp.where(pos < 0.0, pos,
+                    jnp.where(pos > corner, pos - corner, 0.0))
+    oob = ~inside
+    per_atom = per_atom + jnp.where(
+        oob, 0.5 * multi.oob_k * jnp.sum(dev * dev, axis=-1), 0.0)
+    forces = force_in + jnp.where(oob[..., None], -multi.oob_k * dev, 0.0)
+    return GridEval(jnp.sum(per_atom), forces, per_atom)

@@ -176,3 +176,42 @@ class TestHermitePacked:
         # the monomial pack's conditioning gap is real: hermite-packed
         # must be at least 10x tighter on this field
         assert err_h * 10 < err_m or err_m / scale < 1e-6, (err_h, err_m)
+
+
+def test_hermite_multi_fused_matches_separate():
+    """combine_hermite_packed: one gather serves all co-located grids,
+    exactly equal to summing the separate hermite-packed evaluations."""
+    from openmmgridforce_tpu.ops.gridgen import generate_grid
+    from openmmgridforce_tpu.ops.packed import (combine_hermite_packed,
+                                                evaluate_hermite_multi,
+                                                evaluate_hermite_packed,
+                                                pack_grid_hermite)
+
+    rng = np.random.default_rng(12)
+    rec = rng.uniform(0.1, 0.9, (8, 3))
+    q = np.abs(rng.uniform(-0.4, 0.4, 8))
+    gs = [generate_grid((8, 7, 9), (0.1, 0.11, 0.09), (0.0,) * 3, t, rec,
+                        q, np.full(8, 0.3), np.full(8, 0.5),
+                        compute_derivatives=True,
+                        interp_method=InterpolationMethod.TRIQUINTIC,
+                        dtype=np.float64)
+          for t in ("charge", "ljr", "lja")]
+    hps = [pack_grid_hermite(g) for g in gs]
+    multi = combine_hermite_packed(hps)
+    pos = rng.uniform(-0.1, 0.9, (40, 3))     # includes OOB atoms
+    s = rng.uniform(-1.0, 1.0, (3, 40))
+    got = evaluate_hermite_multi(multi, pos, s)
+    want_pa = sum(np.asarray(
+        evaluate_hermite_packed(hp, pos, s[i]).per_atom_energy)
+        for i, hp in enumerate(hps))
+    # separate evals triple-count the OOB restraint; fused applies once
+    inside = np.all((pos >= 0) & (pos <= np.asarray([0.7, 0.66, 0.72])),
+                    axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got.per_atom_energy)[inside], want_pa[inside],
+        atol=1e-12)
+    # in-bounds forces identical
+    want_f = sum(np.asarray(evaluate_hermite_packed(hp, pos, s[i]).forces)
+                 for i, hp in enumerate(hps))
+    np.testing.assert_allclose(np.asarray(got.forces)[inside],
+                               want_f[inside], atol=1e-12)
