@@ -232,7 +232,11 @@ def main():
               [GridBinding(grid=hp, scaling=jnp.asarray(scalings[gt],
                                                         dtype))
                for hp, gt in zip(hps, ["charge", "ljr", "lja"])], 3)
-        del hps
+        from openmmgridforce_tpu.ops.packed import combine_hermite_packed
+        hmulti = combine_hermite_packed(hps)
+        bench(f"{mname} hermite-packed+fused (f32-accurate)", system,
+              [GridBinding(grid=hmulti, scaling=stack_scal)], 3)
+        del hps, hmulti
         bench(f"{mname} direct Hermite (8-corner gather)", system,
               [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt],
                                                        dtype))

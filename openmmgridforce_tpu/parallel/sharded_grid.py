@@ -56,6 +56,11 @@ class ShardedPackedGrid:
                                      metadata=dict(static=True))
     ncx_padded: int = dataclasses.field(default=0,
                                         metadata=dict(static=True))
+    # "monomial" (PackedGrid rows) or "hermite" (corner-derivative rows,
+    # bounded-basis accuracy tier); method only matters for "hermite"
+    form: str = dataclasses.field(default="monomial",
+                                  metadata=dict(static=True))
+    method: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def cell_counts(self):
@@ -72,9 +77,13 @@ def shard_packed_grid(packed, mesh: Mesh,
     coefficient rows (padding cells are never addressed: cell indices are
     clamped to real cells before lookup).
     """
-    from ..ops.packed import MultiPackedGrid
+    from ..ops.packed import (HermitePackedGrid, MultiHermitePackedGrid,
+                              MultiPackedGrid)
 
-    if isinstance(packed, MultiPackedGrid):
+    form, method, degree = "monomial", 0, getattr(packed, "degree", 0)
+    if isinstance(packed, (HermitePackedGrid, MultiHermitePackedGrid)):
+        form, method, degree = "hermite", packed.method, 0
+    if isinstance(packed, (MultiPackedGrid, MultiHermitePackedGrid)):
         n_grids = packed.n_grids
         back_powers = packed.back_powers
     else:
@@ -97,11 +106,13 @@ def shard_packed_grid(packed, mesh: Mesh,
         spacing=packed.spacing,
         origin=packed.origin,
         counts=packed.counts,
-        degree=packed.degree,
+        degree=degree,
         n_grids=n_grids,
         back_powers=back_powers,
         oob_k=packed.oob_k,
         ncx_padded=ncx_padded,
+        form=form,
+        method=method,
     )
 
 
@@ -137,28 +148,49 @@ def _eval_local_slab(coeffs_local, positions, scaling, grid, axis):
     lx = jnp.clip(local_x, 0, slab - 1)
     cell = (lx * ncy + ixyz[..., 1]) * ncz + ixyz[..., 2]
 
-    d = grid.degree
-    K = d ** 3
-    rows = jnp.take(coeffs_local, cell, axis=0)[..., :G * K]
-    rows = rows.reshape(rows.shape[:-1] + (G, K))
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    if grid.form == "hermite":
+        from ..grid import InterpolationMethod
+        from ..ops import basis
+        from ..ops.interpolate import (_AX, _AX3, _AY, _AY3, _AZ, _AZ3,
+                                       _hermite_tensor_eval)
 
-    def powers(v):
-        return jnp.stack([v ** p for p in range(d)], axis=-1)
+        D = (8 if grid.method == int(InterpolationMethod.TRICUBIC)
+             else 27)
+        K = 8 * D
+        rows = jnp.take(coeffs_local, cell, axis=0)[..., :G * K]
+        X = rows.reshape(rows.shape[:-1] + (G, 8, D))
+        if grid.method == int(InterpolationMethod.TRICUBIC):
+            fams = (basis.hermite3_weights, basis.hermite3_derivs,
+                    _AX3, _AY3, _AZ3)
+        else:
+            fams = (basis.hermite5_weights, basis.hermite5_derivs,
+                    _AX, _AY, _AZ)
+        interp, grad_s = jax.vmap(
+            lambda Xg: _hermite_tensor_eval(Xg, f, *fams),
+            in_axes=-3, out_axes=(-1, -2))(X)
+    else:
+        d = grid.degree
+        K = d ** 3
+        rows = jnp.take(coeffs_local, cell, axis=0)[..., :G * K]
+        rows = rows.reshape(rows.shape[:-1] + (G, K))
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
 
-    def dpowers(v):
-        return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
-                                                for p in range(1, d)],
-                         axis=-1)
+        def powers(v):
+            return jnp.stack([v ** p for p in range(d)], axis=-1)
 
-    px, py, pz = powers(fx), powers(fy), powers(fz)
-    dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
-    R = rows.reshape(rows.shape[:-1] + (d, d, d))
-    interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
-    gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)
-    gy = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, dpy, pz)
-    gz = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, dpz)
-    grad_s = jnp.stack([gx, gy, gz], axis=-1)        # [..., G, 3]
+        def dpowers(v):
+            return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
+                                                    for p in range(1, d)],
+                             axis=-1)
+
+        px, py, pz = powers(fx), powers(fy), powers(fz)
+        dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+        R = rows.reshape(rows.shape[:-1] + (d, d, d))
+        interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
+        gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)
+        gy = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, dpy, pz)
+        gz = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, dpz)
+        grad_s = jnp.stack([gx, gy, gz], axis=-1)    # [..., G, 3]
 
     if any(bp != 0.0 for bp in grid.back_powers):
         bps = jnp.asarray(grid.back_powers, dtype=dtype)
@@ -216,6 +248,8 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
             back_powers=grid.back_powers,
             oob_k=grid.oob_k,
             ncx_padded=grid.ncx_padded,
+            form=grid.form,
+            method=grid.method,
         )
 
         fn = shard_map(

@@ -175,3 +175,43 @@ def test_sharded_generation_matches_single_device():
             np.testing.assert_allclose(np.asarray(shd.derivs),
                                        np.asarray(ref.derivs),
                                        rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", [InterpolationMethod.TRICUBIC,
+                                    InterpolationMethod.TRIQUINTIC])
+def test_sharded_hermite_packed_matches_single_device(mesh, method):
+    """Hermite-packed (bounded-basis) rows shard over sp exactly like the
+    monomial rows: slab-local gather + one psum, bit-exact vs the
+    unsharded evaluator, fused multi-grid included."""
+    from openmmgridforce_tpu.ops.gridgen import generate_grid
+    from openmmgridforce_tpu.ops.packed import (combine_hermite_packed,
+                                                evaluate_hermite_multi,
+                                                pack_grid_hermite)
+
+    rec = RNG.uniform(0.1, 1.5, (10, 3))
+    q = np.abs(RNG.uniform(-0.4, 0.4, 10))
+    gs = [generate_grid(COUNTS, SPACING, ORIGIN, t, rec, q,
+                        np.full(10, 0.3), np.full(10, 0.5),
+                        compute_derivatives=True, interp_method=method,
+                        oob_k=333.0, dtype=np.float64)
+          for t in ("charge", "lja")]
+    multi = combine_hermite_packed([pack_grid_hermite(g) for g in gs])
+    sharded = shard_packed_grid(multi, mesh)
+    assert sharded.form == "hermite"
+    eval_fn = jax.jit(make_sharded_grid_eval(mesh))
+
+    lo = np.asarray(ORIGIN) - 0.1
+    hi = (np.asarray(ORIGIN)
+          + (np.asarray(COUNTS) - 1) * np.asarray(SPACING) + 0.1)
+    pos = RNG.uniform(lo, hi, size=(64, 3))
+    scaling = RNG.standard_normal((2, 64))
+    scaling[0, 5] = 0.0
+
+    want = evaluate_hermite_multi(multi, pos, scaling)
+    got = eval_fn(sharded, jnp.asarray(pos), jnp.asarray(scaling))
+    np.testing.assert_allclose(np.asarray(got.per_atom_energy),
+                               np.asarray(want.per_atom_energy),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.forces),
+                               np.asarray(want.forces),
+                               rtol=1e-12, atol=1e-12)
