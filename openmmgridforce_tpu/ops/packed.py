@@ -90,6 +90,68 @@ def _hermite_axis_matrix(method: int) -> np.ndarray:
     raise ValueError(method)
 
 
+@lru_cache(maxsize=None)
+def _monomial_to_cheb(d: int) -> np.ndarray:
+    """B[p, j]: coefficients turning monomial coeffs a_j (in v on [0,1])
+    into Chebyshev coeffs b_p of the SAME polynomial in T_p(2v-1).
+
+    Why: the triquintic monomial coefficients of steep capped fields reach
+    1e8-1e10 (huge cancellation in f32), while Chebyshev coefficients are
+    bounded by ~max|P| on the cell — converting the basis AT PACK TIME (in
+    f64) makes float32 evaluation well-conditioned at identical runtime
+    cost (same [d,d,d] einsum, basis vector via a 2-term recurrence).
+    """
+    # C2M[p, j] = coefficient of v^j in T_p(2v-1)
+    C2M = np.zeros((d, d))
+    for pp in range(d):
+        c = np.zeros(pp + 1)
+        c[pp] = 1.0
+        poly = np.polynomial.chebyshev.cheb2poly(c)      # in u
+        # substitute u = 2v - 1
+        pv = np.polynomial.polynomial.Polynomial([-1.0, 2.0])
+        out = np.polynomial.polynomial.Polynomial([0.0])
+        for j, cj in enumerate(poly):
+            out = out + cj * pv ** j
+        C2M[pp, :len(out.coef)] = out.coef
+    return np.linalg.inv(C2M).T                           # B[p, j]
+
+
+def _poly_powers(v, d: int, basis: str):
+    """[..., d] basis values at cell fraction v: v^p or T_p(2v-1)."""
+    if basis == "monomial":
+        return jnp.stack([v ** p for p in range(d)], axis=-1)
+    u = 2.0 * v - 1.0
+    T = [jnp.ones_like(v), u]
+    for _ in range(2, d):
+        T.append(2.0 * u * T[-1] - T[-2])
+    return jnp.stack(T[:d], axis=-1)
+
+
+def _poly_dpowers(v, d: int, basis: str):
+    """[..., d] d/dv of the basis values."""
+    if basis == "monomial":
+        return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
+                                                for p in range(1, d)],
+                         axis=-1)
+    # d/dv T_p(2v-1) = 2 p U_{p-1}(2v-1)
+    u = 2.0 * v - 1.0
+    U = [jnp.ones_like(v), 2.0 * u]
+    for _ in range(2, d - 1):
+        U.append(2.0 * u * U[-1] - U[-2])
+    cols = [jnp.zeros_like(v)]
+    for pp in range(1, d):
+        cols.append(2.0 * pp * U[pp - 1])
+    return jnp.stack(cols, axis=-1)
+
+
+def _coeffs_to_cheb(coeffs, d: int):
+    """[ncells, d^3] monomial -> Chebyshev tensor coefficients (f64)."""
+    B = jnp.asarray(_monomial_to_cheb(d), dtype=coeffs.dtype)
+    R = coeffs.reshape(-1, d, d, d)
+    R = jnp.einsum("pi,qj,rk,cijk->cpqr", B, B, B, R)
+    return R.reshape(-1, d ** 3)
+
+
 # Map the canonical 27-slot order to [mx, my, mz] tensor layout.
 from .derivatives27 import DERIV_ORDERS  # noqa: E402
 
@@ -119,6 +181,8 @@ class PackedGrid:
                                           metadata=dict(static=True))
     oob_k: float = dataclasses.field(default=0.0,
                                      metadata=dict(static=True))
+    poly_basis: str = dataclasses.field(default="monomial",
+                                        metadata=dict(static=True))
 
     @property
     def cell_counts(self):
@@ -209,8 +273,8 @@ def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
     return coeffs.reshape(ncx * ncy * ncz, K)
 
 
-def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
-              ) -> PackedGrid:
+def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
+              poly_basis: str = "monomial") -> PackedGrid:
     """Precompute per-cell polynomial coefficients for a Grid.
 
     The whole-grid contraction runs as a single jitted program (one
@@ -221,8 +285,17 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
     memory for large grids (each slab carries its one-plane stencil
     overlap). Defaults to whole-grid packing below ~2M cells and
     64-cell slabs above.
+
+    ``poly_basis``: "monomial" (default) or "chebyshev" — same runtime
+    cost, but Chebyshev coefficients stay O(max|P|) where triquintic
+    monomial coefficients reach 1e8-1e10, so float32 evaluation remains
+    ~1e-7 accurate on steep capped fields. Chebyshev packing always
+    computes the contraction in float64 before converting and casting.
     """
+    if poly_basis not in ("monomial", "chebyshev"):
+        raise ValueError(f"unknown poly_basis {poly_basis!r}")
     dtype = dtype or grid.vals.dtype
+    pack_dtype = jnp.float64 if poly_basis == "chebyshev" else dtype
     method = grid.interp_method
     nx, ny, nz = grid.counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
@@ -259,7 +332,7 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
                 # planes needed: [c0-1, c1+2], clamped = edge padding
                 lo = max(c0 - 1, 0)
                 hi = min(c1 + 3, nx)
-                sl = jnp.asarray(data[lo:hi], dtype=dtype)
+                sl = jnp.asarray(data[lo:hi], dtype=pack_dtype)
                 pad_lo = lo - (c0 - 1)
                 pad_hi = (c1 + 3) - hi
                 sl = jnp.pad(sl, ((pad_lo, pad_hi), (1, 2), (1, 2)),
@@ -268,36 +341,42 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
                     sl, method=int(method), runtime_inv=runtime_inv,
                     inv_power=grid.inv_power,
                     ncells=(n_slab, ncy, ncz))
-            sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+            sl = jnp.asarray(data[c0:c1 + 1], dtype=pack_dtype)
             return _pack_values_padded(
                 sl, method=int(method), runtime_inv=runtime_inv,
                 inv_power=grid.inv_power, ncells=(n_slab, ncy, ncz))
-        sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+        sl = jnp.asarray(data[c0:c1 + 1], dtype=pack_dtype)
         return _pack_derivs(sl, method=int(method),
                             runtime_inv=runtime_inv,
                             inv_power=grid.inv_power,
                             counts=(n_slab + 1, ny, nz))
 
+    def postprocess(coeffs):
+        if poly_basis == "chebyshev":
+            coeffs = _coeffs_to_cheb(coeffs, degree)
+        return coeffs.astype(dtype)
+
     data = grid.vals if value_based else grid.derivs
     if x_chunk is None or x_chunk >= ncx:
         if value_based:
-            coeffs = _pack_values(jnp.asarray(data, dtype=dtype),
+            coeffs = _pack_values(jnp.asarray(data, dtype=pack_dtype),
                                   method=int(method),
                                   runtime_inv=runtime_inv,
                                   inv_power=grid.inv_power,
                                   counts=grid.counts)
         else:
-            coeffs = _pack_derivs(jnp.asarray(data, dtype=dtype),
+            coeffs = _pack_derivs(jnp.asarray(data, dtype=pack_dtype),
                                   method=int(method),
                                   runtime_inv=runtime_inv,
                                   inv_power=grid.inv_power,
                                   counts=grid.counts)
+        coeffs = postprocess(coeffs)
     else:
         data = np.asarray(data)
         parts = []
         for c0 in range(0, ncx, x_chunk):
             c1 = min(c0 + x_chunk, ncx)
-            parts.append(np.asarray(pack_slab(data, c0, c1)))
+            parts.append(np.asarray(postprocess(pack_slab(data, c0, c1))))
         coeffs = jnp.asarray(np.concatenate(parts, axis=0))
 
     return PackedGrid(
@@ -308,6 +387,7 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None
         degree=degree,
         back_power=back_power,
         oob_k=grid.oob_k,
+        poly_basis=poly_basis,
     )
 
 
@@ -342,17 +422,11 @@ def evaluate_packed(packed: PackedGrid, positions,
 
     d = packed.degree
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-
-    def powers(v):
-        return jnp.stack([v ** p for p in range(d)], axis=-1)   # [N, d]
-
-    def dpowers(v):
-        cols = [jnp.zeros_like(v)] + [p * v ** (p - 1)
-                                      for p in range(1, d)]
-        return jnp.stack(cols, axis=-1)
-
-    px, py, pz = powers(fx), powers(fy), powers(fz)
-    dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+    pb = packed.poly_basis
+    px, py, pz = (_poly_powers(fx, d, pb), _poly_powers(fy, d, pb),
+                  _poly_powers(fz, d, pb))
+    dpx, dpy, dpz = (_poly_dpowers(fx, d, pb), _poly_dpowers(fy, d, pb),
+                     _poly_dpowers(fz, d, pb))
 
     R = rows.reshape(rows.shape[:-1] + (d, d, d))
     interp = jnp.einsum("...pqr,...p,...q,...r->...", R, px, py, pz)
@@ -415,6 +489,8 @@ class MultiPackedGrid:
                                            metadata=dict(static=True))
     oob_k: float = dataclasses.field(default=0.0,
                                      metadata=dict(static=True))
+    poly_basis: str = dataclasses.field(default="monomial",
+                                        metadata=dict(static=True))
 
     @property
     def num_grids(self) -> int:
@@ -432,8 +508,10 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
     first = packed_grids[0]
     for p in packed_grids[1:]:
         if (p.counts != first.counts or p.degree != first.degree
-                or p.oob_k != first.oob_k):
-            raise ValueError("grids must share counts/degree/oob_k to fuse")
+                or p.oob_k != first.oob_k
+                or p.poly_basis != first.poly_basis):
+            raise ValueError("grids must share counts/degree/oob_k/basis "
+                             "to fuse")
     G = len(packed_grids)
     K = first.coeffs.shape[-1]
     ncells = first.coeffs.shape[0]
@@ -453,6 +531,7 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
         n_grids=G,
         back_powers=tuple(p.back_power for p in packed_grids),
         oob_k=first.oob_k,
+        poly_basis=first.poly_basis,
     )
 
 
@@ -492,17 +571,11 @@ def evaluate_multi(multi: MultiPackedGrid, positions, scaling_factors):
     rows = rows.reshape(rows.shape[:-1] + (G, K))     # [N, G, K]
 
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-
-    def powers(v):
-        return jnp.stack([v ** p for p in range(d)], axis=-1)
-
-    def dpowers(v):
-        return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
-                                                for p in range(1, d)],
-                         axis=-1)
-
-    px, py, pz = powers(fx), powers(fy), powers(fz)
-    dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+    pb = multi.poly_basis
+    px, py, pz = (_poly_powers(fx, d, pb), _poly_powers(fy, d, pb),
+                  _poly_powers(fz, d, pb))
+    dpx, dpy, dpz = (_poly_dpowers(fx, d, pb), _poly_dpowers(fy, d, pb),
+                     _poly_dpowers(fz, d, pb))
     R = rows.reshape(rows.shape[:-1] + (d, d, d))     # [N, G, d, d, d]
     interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
     gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)

@@ -61,6 +61,8 @@ class ShardedPackedGrid:
     form: str = dataclasses.field(default="monomial",
                                   metadata=dict(static=True))
     method: int = dataclasses.field(default=0, metadata=dict(static=True))
+    poly_basis: str = dataclasses.field(default="monomial",
+                                        metadata=dict(static=True))
 
     @property
     def cell_counts(self):
@@ -81,6 +83,7 @@ def shard_packed_grid(packed, mesh: Mesh,
                               MultiPackedGrid)
 
     form, method, degree = "monomial", 0, getattr(packed, "degree", 0)
+    poly_basis = getattr(packed, "poly_basis", "monomial")
     if isinstance(packed, (HermitePackedGrid, MultiHermitePackedGrid)):
         form, method, degree = "hermite", packed.method, 0
     if isinstance(packed, (MultiPackedGrid, MultiHermitePackedGrid)):
@@ -113,6 +116,7 @@ def shard_packed_grid(packed, mesh: Mesh,
         ncx_padded=ncx_padded,
         form=form,
         method=method,
+        poly_basis=poly_basis,
     )
 
 
@@ -173,18 +177,14 @@ def _eval_local_slab(coeffs_local, positions, scaling, grid, axis):
         K = d ** 3
         rows = jnp.take(coeffs_local, cell, axis=0)[..., :G * K]
         rows = rows.reshape(rows.shape[:-1] + (G, K))
+        from ..ops.packed import _poly_dpowers, _poly_powers
         fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-
-        def powers(v):
-            return jnp.stack([v ** p for p in range(d)], axis=-1)
-
-        def dpowers(v):
-            return jnp.stack([jnp.zeros_like(v)] + [p * v ** (p - 1)
-                                                    for p in range(1, d)],
-                             axis=-1)
-
-        px, py, pz = powers(fx), powers(fy), powers(fz)
-        dpx, dpy, dpz = dpowers(fx), dpowers(fy), dpowers(fz)
+        pb = grid.poly_basis
+        px, py, pz = (_poly_powers(fx, d, pb), _poly_powers(fy, d, pb),
+                      _poly_powers(fz, d, pb))
+        dpx, dpy, dpz = (_poly_dpowers(fx, d, pb),
+                         _poly_dpowers(fy, d, pb),
+                         _poly_dpowers(fz, d, pb))
         R = rows.reshape(rows.shape[:-1] + (d, d, d))
         interp = jnp.einsum("...gpqr,...p,...q,...r->...g", R, px, py, pz)
         gx = jnp.einsum("...gpqr,...p,...q,...r->...g", R, dpx, py, pz)
@@ -250,6 +250,7 @@ def make_sharded_grid_eval(mesh: Mesh, axis: str = "sp",
             ncx_padded=grid.ncx_padded,
             form=grid.form,
             method=grid.method,
+            poly_basis=grid.poly_basis,
         )
 
         fn = shard_map(

@@ -215,3 +215,116 @@ def test_hermite_multi_fused_matches_separate():
                  for i, hp in enumerate(hps))
     np.testing.assert_allclose(np.asarray(got.forces)[inside],
                                want_f[inside], atol=1e-12)
+
+
+class TestChebyshevBasis:
+    """pack_grid(poly_basis='chebyshev'): same per-cell row layout and
+    evaluation cost, but coefficients bounded ~max|P| — the conditioning
+    fix for f32 triquintic."""
+
+    def _grid(self, dtype=np.float64):
+        from openmmgridforce_tpu.ops.gridgen import generate_grid
+        rng = np.random.default_rng(7)
+        rec = rng.uniform(0.2, 0.8, (12, 3))
+        q = np.abs(rng.uniform(-0.5, 0.5, 12))
+        return generate_grid((10, 10, 10), (0.05,) * 3, (0.0,) * 3,
+                             "ljr", rec, q, np.full(12, 0.3),
+                             np.full(12, 0.6), compute_derivatives=True,
+                             interp_method=InterpolationMethod.TRIQUINTIC,
+                             dtype=dtype)
+
+    @pytest.mark.parametrize("method", [InterpolationMethod.TRILINEAR,
+                                        InterpolationMethod.BSPLINE,
+                                        InterpolationMethod.TRICUBIC,
+                                        InterpolationMethod.TRIQUINTIC])
+    def test_f64_matches_direct(self, method):
+        from openmmgridforce_tpu.ops.gridgen import generate_grid
+        from openmmgridforce_tpu.ops.packed import (evaluate_packed,
+                                                    pack_grid)
+        rng = np.random.default_rng(13)
+        rec = rng.uniform(0.1, 0.7, (8, 3))
+        g = generate_grid((8, 7, 9), (0.1, 0.11, 0.09), (0.0,) * 3,
+                          "charge", rec, rng.uniform(-0.4, 0.4, 8),
+                          np.full(8, 0.3), np.full(8, 0.5),
+                          compute_derivatives=True, interp_method=method,
+                          dtype=np.float64)
+        pos = rng.uniform(-0.05, 0.8, (50, 3))
+        scal = rng.uniform(-1.0, 1.0, 50)
+        want = evaluate_grid(g, pos, scal)
+        got = evaluate_packed(pack_grid(g, poly_basis="chebyshev"),
+                              pos, scal)
+        np.testing.assert_allclose(np.asarray(got.per_atom_energy),
+                                   np.asarray(want.per_atom_energy),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(got.forces),
+                                   np.asarray(want.forces),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_f32_conditioning_beats_monomial(self):
+        import dataclasses
+
+        from openmmgridforce_tpu.ops.packed import (evaluate_packed,
+                                                    pack_grid)
+        g64 = self._grid()
+        g32 = dataclasses.replace(
+            g64, vals=jnp.asarray(g64.vals, jnp.float32),
+            derivs=jnp.asarray(g64.derivs, jnp.float32),
+            spacing=jnp.asarray(g64.spacing, jnp.float32),
+            origin=jnp.asarray(g64.origin, jnp.float32))
+        rng = np.random.default_rng(9)
+        pos = rng.uniform(0.02, 0.43, (200, 3))
+        scal = np.ones(200)
+        truth = np.asarray(evaluate_grid(g64, pos, scal).per_atom_energy)
+        scale = np.abs(truth).max()
+        p32, s32 = pos.astype(np.float32), scal.astype(np.float32)
+        e_m = np.abs(np.asarray(evaluate_packed(
+            pack_grid(g32), p32, s32).per_atom_energy) - truth).max()
+        e_c = np.abs(np.asarray(evaluate_packed(
+            pack_grid(g32, poly_basis="chebyshev"), p32,
+            s32).per_atom_energy) - truth).max()
+        assert e_c / scale < 1e-6, (e_c, scale)
+        assert e_c * 5 < e_m, (e_c, e_m)   # measured 10x tighter
+
+    def test_fused_and_sharded_chebyshev(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from openmmgridforce_tpu.ops.gridgen import generate_grid
+        from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                    evaluate_multi,
+                                                    pack_grid)
+        from openmmgridforce_tpu.parallel.sharded_grid import (
+            make_sharded_grid_eval, shard_packed_grid)
+
+        rng = np.random.default_rng(14)
+        rec = rng.uniform(0.1, 0.7, (8, 3))
+        gs = [generate_grid((9, 7, 8), (0.1, 0.11, 0.09), (0.0,) * 3, t,
+                            rec, np.abs(rng.uniform(-0.4, 0.4, 8)),
+                            np.full(8, 0.3), np.full(8, 0.5),
+                            compute_derivatives=True,
+                            interp_method=InterpolationMethod.TRIQUINTIC,
+                            dtype=np.float64)
+              for t in ("charge", "lja")]
+        multi = combine_packed_grids(
+            [pack_grid(g, poly_basis="chebyshev") for g in gs])
+        assert multi.poly_basis == "chebyshev"
+        # inside atoms only: the fused eval applies the OOB restraint
+        # ONCE per set while the per-grid sum applies it per grid
+        hi = (np.asarray((9, 7, 8)) - 1) * np.asarray((0.1, 0.11, 0.09))
+        pos = rng.uniform(0.02, hi - 0.02, (32, 3))
+        s = rng.uniform(-1.0, 1.0, (2, 32))
+        want = sum(np.asarray(evaluate_grid(g, pos, s[i]).per_atom_energy)
+                   for i, g in enumerate(gs))
+        got = evaluate_multi(multi, pos, s)
+        # basis round-trip amplifies by the conversion matrix norm (~512)
+        np.testing.assert_allclose(np.asarray(got.per_atom_energy), want,
+                                   rtol=1e-9, atol=1e-9)
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+        sharded = shard_packed_grid(multi, mesh)
+        assert sharded.poly_basis == "chebyshev"
+        got_s = jax.jit(make_sharded_grid_eval(mesh))(
+            sharded, jnp.asarray(pos), jnp.asarray(s))
+        np.testing.assert_allclose(np.asarray(got_s.per_atom_energy),
+                                   np.asarray(got.per_atom_energy),
+                                   rtol=1e-12, atol=1e-12)
