@@ -227,6 +227,11 @@ def main():
         bench(f"{mname} monomial-packed+fused", system,
               [GridBinding(grid=multi, scaling=stack_scal)], 3)
         del multi, packs
+        cmulti = combine_packed_grids(
+            [pack_grid(g, poly_basis="chebyshev") for g in gd])
+        bench(f"{mname} chebyshev-packed+fused (f32-accurate)", system,
+              [GridBinding(grid=cmulti, scaling=stack_scal)], 3)
+        del cmulti
         hps = [pack_grid_hermite(g) for g in gd]
         bench(f"{mname} hermite-packed (f32-accurate)", system,
               [GridBinding(grid=hp, scaling=jnp.asarray(scalings[gt],

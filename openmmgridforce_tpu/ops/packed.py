@@ -356,28 +356,40 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
             coeffs = _coeffs_to_cheb(coeffs, degree)
         return coeffs.astype(dtype)
 
-    data = grid.vals if value_based else grid.derivs
-    if x_chunk is None or x_chunk >= ncx:
-        if value_based:
-            coeffs = _pack_values(jnp.asarray(data, dtype=pack_dtype),
-                                  method=int(method),
-                                  runtime_inv=runtime_inv,
-                                  inv_power=grid.inv_power,
-                                  counts=grid.counts)
-        else:
-            coeffs = _pack_derivs(jnp.asarray(data, dtype=pack_dtype),
-                                  method=int(method),
-                                  runtime_inv=runtime_inv,
-                                  inv_power=grid.inv_power,
-                                  counts=grid.counts)
-        coeffs = postprocess(coeffs)
-    else:
-        data = np.asarray(data)
+    def compute():
+        data = grid.vals if value_based else grid.derivs
+        if x_chunk is None or x_chunk >= ncx:
+            if value_based:
+                out = _pack_values(jnp.asarray(data, dtype=pack_dtype),
+                                   method=int(method),
+                                   runtime_inv=runtime_inv,
+                                   inv_power=grid.inv_power,
+                                   counts=grid.counts)
+            else:
+                out = _pack_derivs(jnp.asarray(data, dtype=pack_dtype),
+                                   method=int(method),
+                                   runtime_inv=runtime_inv,
+                                   inv_power=grid.inv_power,
+                                   counts=grid.counts)
+            return postprocess(out)
+        d_np = np.asarray(data)
         parts = []
         for c0 in range(0, ncx, x_chunk):
             c1 = min(c0 + x_chunk, ncx)
-            parts.append(np.asarray(postprocess(pack_slab(data, c0, c1))))
-        coeffs = jnp.asarray(np.concatenate(parts, axis=0))
+            parts.append(np.asarray(postprocess(
+                pack_slab(d_np, c0, c1))))
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    if poly_basis == "chebyshev" and not jax.config.jax_enable_x64:
+        # the conditioning win requires the pack contraction in f64;
+        # scope x64 to this block and run it on the host CPU backend
+        # (TPU backends have no native f64)
+        with jax.enable_x64(), \
+                jax.default_device(jax.devices("cpu")[0]):
+            coeffs = np.asarray(compute())
+        coeffs = jnp.asarray(coeffs)
+    else:
+        coeffs = compute()
 
     return PackedGrid(
         coeffs=coeffs,
