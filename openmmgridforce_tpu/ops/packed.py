@@ -274,7 +274,7 @@ def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
 
 
 def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
-              poly_basis: str = "monomial") -> PackedGrid:
+              poly_basis: str | None = None) -> PackedGrid:
     """Precompute per-cell polynomial coefficients for a Grid.
 
     The whole-grid contraction runs as a single jitted program (one
@@ -286,15 +286,25 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
     overlap). Defaults to whole-grid packing below ~2M cells and
     64-cell slabs above.
 
-    ``poly_basis``: "monomial" (default) or "chebyshev" — same runtime
-    cost, but Chebyshev coefficients stay O(max|P|) where triquintic
-    monomial coefficients reach 1e8-1e10, so float32 evaluation remains
-    ~1e-7 accurate on steep capped fields. Chebyshev packing always
-    computes the contraction in float64 before converting and casting.
+    ``poly_basis``: "monomial" or "chebyshev" — same runtime cost
+    (bench-verified on v5e: 1153.7 vs 1157.5 tricubic steps/s), but
+    Chebyshev coefficients stay O(max|P|) where triquintic monomial
+    coefficients reach 1e8-1e10, so float32 evaluation remains ~1e-7
+    accurate on steep capped fields. Chebyshev packing always computes
+    the contraction in float64 before converting and casting. Default
+    (None): "chebyshev" for float32 Hermite-method packs (tricubic /
+    triquintic, where monomial f32 loses ~1 kJ/mol near receptor
+    cores), "monomial" otherwise.
     """
+    dtype = dtype or grid.vals.dtype
+    if poly_basis is None:
+        hermite = grid.interp_method in (InterpolationMethod.TRICUBIC,
+                                         InterpolationMethod.TRIQUINTIC)
+        poly_basis = ("chebyshev"
+                      if hermite and jnp.dtype(dtype) == jnp.float32
+                      else "monomial")
     if poly_basis not in ("monomial", "chebyshev"):
         raise ValueError(f"unknown poly_basis {poly_basis!r}")
-    dtype = dtype or grid.vals.dtype
     pack_dtype = jnp.float64 if poly_basis == "chebyshev" else dtype
     method = grid.interp_method
     nx, ny, nz = grid.counts

@@ -278,12 +278,32 @@ class TestChebyshevBasis:
         scale = np.abs(truth).max()
         p32, s32 = pos.astype(np.float32), scal.astype(np.float32)
         e_m = np.abs(np.asarray(evaluate_packed(
-            pack_grid(g32), p32, s32).per_atom_energy) - truth).max()
+            pack_grid(g32, poly_basis="monomial"), p32,
+            s32).per_atom_energy) - truth).max()
         e_c = np.abs(np.asarray(evaluate_packed(
             pack_grid(g32, poly_basis="chebyshev"), p32,
             s32).per_atom_energy) - truth).max()
         assert e_c / scale < 1e-6, (e_c, scale)
         assert e_c * 5 < e_m, (e_c, e_m)   # measured 10x tighter
+
+    def test_auto_default_basis(self):
+        """f32 Hermite packs default to chebyshev; everything else
+        stays monomial (pack_grid poly_basis=None resolution)."""
+        import dataclasses
+
+        from openmmgridforce_tpu.ops.packed import pack_grid
+        g64 = self._grid()
+        g32 = dataclasses.replace(
+            g64, vals=jnp.asarray(g64.vals, jnp.float32),
+            derivs=jnp.asarray(g64.derivs, jnp.float32),
+            spacing=jnp.asarray(g64.spacing, jnp.float32),
+            origin=jnp.asarray(g64.origin, jnp.float32))
+        assert pack_grid(g32).poly_basis == "chebyshev"
+        assert pack_grid(g64).poly_basis == "monomial"
+        assert pack_grid(g64, dtype=jnp.float32).poly_basis == "chebyshev"
+        gb = dataclasses.replace(
+            g32, interp_method=InterpolationMethod.BSPLINE, derivs=None)
+        assert pack_grid(gb).poly_basis == "monomial"
 
     def test_fused_and_sharded_chebyshev(self):
         import jax
