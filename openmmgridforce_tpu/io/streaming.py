@@ -82,6 +82,11 @@ class StreamedGridEvaluator:
         self._cached = None
         self.region_hits = 0
         self.region_misses = 0
+        # scattered-batch path: device-resident region LRU + jitted
+        # vmapped evaluator (built lazily)
+        self._regions = {}
+        self.device_regions = 8
+        self._batch_eval = None
         if self.interp_method in (InterpolationMethod.TRICUBIC,
                                   InterpolationMethod.TRIQUINTIC) \
                 and not self.stream.has_derivatives:
@@ -125,6 +130,37 @@ class StreamedGridEvaluator:
         corner = origin + (np.asarray(self.stream.counts) - 1) * spacing
         return origin, corner
 
+    def _build_region(self, start):
+        """Read region ``start`` and return ``(grid, (ilo, ihi))`` —
+        a device-ready :class:`Grid` plus its exact interior box."""
+        start = np.asarray(start, dtype=int)
+        with_derivs = self.interp_method in (
+            InterpolationMethod.TRICUBIC, InterpolationMethod.TRIQUINTIC)
+        vals, derivs = self.stream.read_region(start, self.region_shape,
+                                               with_derivatives=with_derivs)
+        spacing = np.asarray(self.stream.spacing)
+        full_origin = np.asarray(self.stream.origin)
+        counts = np.asarray(self.stream.counts)
+        origin = full_origin + start * spacing
+        grid = Grid.create(
+            vals, spacing, origin,
+            derivs=derivs,
+            interp_method=self.interp_method,
+            inv_power_mode=self.inv_power_mode,
+            inv_power=self.inv_power,
+            oob_k=self.oob_k,
+        )
+        lo_h, hi_h = _HALO[self.interp_method]
+        last = start + np.asarray(self.region_shape) - 1
+        full_corner = full_origin + (counts - 1) * spacing
+        interior_lo = np.where(start > 0,
+                               full_origin + (start + lo_h) * spacing,
+                               full_origin)
+        interior_hi = np.where(last < counts - 1,
+                               full_origin + (last - hi_h) * spacing,
+                               full_corner)
+        return grid, (interior_lo, interior_hi)
+
     def region_grid(self, positions):
         """Read the region covering ``positions`` and return
         ``(grid, (interior_lo, interior_hi))``.
@@ -151,33 +187,113 @@ class StreamedGridEvaluator:
                 return self._cached
         self.region_misses += 1
         start = self._region_for(positions)
-        with_derivs = self.interp_method in (
-            InterpolationMethod.TRICUBIC, InterpolationMethod.TRIQUINTIC)
-        vals, derivs = self.stream.read_region(start, self.region_shape,
-                                               with_derivatives=with_derivs)
-        spacing = np.asarray(self.stream.spacing)
-        full_origin = np.asarray(self.stream.origin)
-        counts = np.asarray(self.stream.counts)
-        origin = full_origin + start * spacing
-        grid = Grid.create(
-            vals, spacing, origin,
-            derivs=derivs,
-            interp_method=self.interp_method,
-            inv_power_mode=self.inv_power_mode,
-            inv_power=self.inv_power,
-            oob_k=self.oob_k,
-        )
-        lo_h, hi_h = _HALO[self.interp_method]
-        last = start + np.asarray(self.region_shape) - 1
-        full_corner = full_origin + (counts - 1) * spacing
-        interior_lo = np.where(start > 0,
-                               full_origin + (start + lo_h) * spacing,
-                               full_origin)
-        interior_hi = np.where(last < counts - 1,
-                               full_origin + (last - hi_h) * spacing,
-                               full_corner)
-        self._cached = (grid, (interior_lo, interior_hi))
+        self._cached = self._build_region(start)
         return self._cached
+
+    def _aligned_region_for(self, pos):
+        """Region start for ONE cloud, aligned to a half-region lattice
+        so nearby clouds share regions (maximizing the device-region and
+        native tile caches). Falls back to the exact start when the
+        cloud straddles a lattice boundary; raises if it cannot fit any
+        region (mirrors the reference's per-tile coverage contract,
+        gridForceTiled.cu's per-atom tile lookup)."""
+        spacing = np.asarray(self.stream.spacing)
+        origin = np.asarray(self.stream.origin)
+        counts = np.asarray(self.stream.counts)
+        shape = np.asarray(self.region_shape)
+        lo_h, hi_h = _HALO[self.interp_method]
+
+        pos = np.asarray(pos)
+        corner = origin + (counts - 1) * spacing
+        inside = np.all((pos >= origin) & (pos <= corner), axis=1)
+        if not np.any(inside):
+            return np.zeros(3, dtype=int)
+        t = (pos[inside] - origin) / spacing
+        cell_lo = np.clip(np.floor(t.min(axis=0)).astype(int) - lo_h,
+                          0, counts - 1)
+        cell_hi = np.clip(np.floor(t.max(axis=0)).astype(int) + 1 + hi_h,
+                          0, counts - 1)
+        need = cell_hi - cell_lo + 1
+        if np.any(need > shape):
+            raise ValueError(
+                f"one replica's cloud needs region {tuple(need)} > "
+                f"configured {self.region_shape}; enlarge region_shape")
+        max_start = np.maximum(counts - shape, 0)
+        stride = np.maximum(shape // 2, 1)
+        aligned = np.clip((cell_lo // stride) * stride, 0, max_start)
+        if np.all(cell_hi <= aligned + shape - 1):
+            return aligned
+        return np.clip(cell_lo, 0, max_start)
+
+    def _region_cached(self, start):
+        """Device-resident region LRU keyed by start (bounded by
+        ``device_regions``); falls through to the file streamer."""
+        key = tuple(int(s) for s in start)
+        hit = self._regions.get(key)
+        if hit is not None:
+            self.region_hits += 1
+            # refresh LRU order
+            self._regions.pop(key)
+            self._regions[key] = hit
+            return hit
+        self.region_misses += 1
+        built = self._build_region(start)
+        self._regions[key] = built
+        while len(self._regions) > self.device_regions:
+            self._regions.pop(next(iter(self._regions)))
+        return built
+
+    def evaluate_batch(self, positions, scaling):
+        """GridEval (batched leaves) for replica clouds scattered across
+        the full grid: ``positions`` is [R, N, 3], ``scaling`` [N] or
+        [R, N]; returns energies [R], forces [R, N, 3], per-atom [R, N].
+
+        Unlike :meth:`evaluate`, the WHOLE batch need not share one
+        region — each replica only needs ITS cloud to fit one region
+        (the docking-screen case: small ligand poses spread over a huge
+        receptor grid; cf. the reference's per-atom tile lookup,
+        platforms/cuda/src/kernels/gridForceTiled.cu). Replicas are
+        grouped by lattice-aligned region, each distinct region is read
+        once per call (device-LRU-cached across calls), and each group
+        is evaluated in one padded vmapped dispatch.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        pos = np.asarray(positions)
+        if pos.ndim != 3:
+            raise ValueError("evaluate_batch wants positions [R, N, 3]")
+        n_rep, n_atoms = pos.shape[0], pos.shape[1]
+        scal = np.asarray(scaling)
+        if scal.ndim == 1:
+            scal = np.broadcast_to(scal, (n_rep, n_atoms))
+
+        starts = np.stack([self._aligned_region_for(p) for p in pos])
+        uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
+
+        if self._batch_eval is None:
+            self._batch_eval = jax.jit(
+                jax.vmap(evaluate_streamed,
+                         in_axes=(None, None, None, 0, 0, None)),
+                static_argnums=(5,))
+        full_origin, full_corner = self.full_box
+
+        perm, outs = [], []
+        for u in range(uniq.shape[0]):
+            grid, _ = self._region_cached(uniq[u])
+            idx = np.nonzero(inverse == u)[0]
+            # pad each group to a power of two: bounded recompiles
+            b = 1 << (len(idx) - 1).bit_length()
+            pad = np.concatenate([idx, np.repeat(idx[:1], b - len(idx))])
+            res = self._batch_eval(grid, full_origin, full_corner,
+                                   jnp.asarray(pos[pad]),
+                                   jnp.asarray(scal[pad]), self.oob_k)
+            perm.append(idx)
+            outs.append(jax.tree.map(lambda x: x[:len(idx)], res))
+        order = np.argsort(np.concatenate(perm))
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[order],
+                           *outs)
+        return GridEval(cat.energy, cat.forces, cat.per_atom_energy)
 
     def evaluate(self, positions, scaling):
         """GridEval for the atoms against the streamed region.

@@ -148,3 +148,80 @@ def test_streamed_md_stepping_trajectory_parity(tmp_path):
     sim.minimizeEnergy(maxIterations=30, tolerance=1.0)
     e1 = ctx_str.getState(getEnergy=True).getPotentialEnergy()
     assert e1 <= e0 + 1e-9
+
+
+def test_evaluate_batch_scattered_replicas(tmp_path):
+    """Scattered replica clouds over a big streamed grid: each replica
+    only needs ITS cloud to fit one region (per-atom tile-lookup parity
+    with the reference's gridForceTiled.cu), exact vs the in-memory
+    full-grid kernel."""
+    from openmmgridforce_tpu.grid import InterpolationMethod
+    from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+    from openmmgridforce_tpu.ops.interpolate import evaluate_grid
+
+    counts = (40, 38, 36)
+    spacing = (0.05, 0.05, 0.05)
+    origin = (0.0, 0.0, 0.0)
+    n_rec = 25
+    rec = RNG.uniform(0.2, 1.6, (n_rec, 3))
+    q = RNG.uniform(-0.5, 0.5, n_rec)
+    sig = RNG.uniform(0.25, 0.35, n_rec)
+    eps = RNG.uniform(0.2, 0.8, n_rec)
+
+    path = str(tmp_path / "big.tiled")
+    gridgen.generate_grid_to_tiled_file(
+        path, counts, spacing, origin, "lja", rec, q, sig, eps,
+        tile_size=8, compute_derivatives=True)
+    full = gridgen.generate_grid(
+        counts, spacing, origin, "lja", rec, q, sig, eps,
+        compute_derivatives=True,
+        interp_method=InterpolationMethod.TRICUBIC)
+
+    ev = StreamedGridEvaluator(path, InterpolationMethod.TRICUBIC,
+                               region_shape=(16, 16, 16))
+
+    # 12 replicas x 6 atoms: tight clouds scattered across the box,
+    # one near each far corner, one fully outside the grid
+    n_rep, n_atoms = 12, 6
+    sites = RNG.uniform(0.25, 1.6, (4, 3))
+    centers = np.concatenate([
+        # 10 replicas clustered around 4 sites (so distinct regions fit
+        # the 8-entry device LRU), plus a far corner and one fully
+        # outside the grid (restraint branch)
+        sites[RNG.integers(0, 4, n_rep - 2)] + RNG.uniform(
+            -0.05, 0.05, (n_rep - 2, 3)),
+        [[1.85, 1.75, 1.65]],
+        [[3.0, 3.0, 3.0]],
+    ])
+    pos = centers[:, None, :] + RNG.uniform(-0.07, 0.07,
+                                            (n_rep, n_atoms, 3))
+    scal = RNG.uniform(0.5, 1.5, n_atoms)
+
+    got = ev.evaluate_batch(pos, scal)
+    assert got.forces.shape == (n_rep, n_atoms, 3)
+    # the combined cloud spans many regions: the single-region path
+    # must refuse it...
+    with pytest.raises(ValueError):
+        ev.evaluate(pos.reshape(-1, 3), np.tile(scal, n_rep))
+    # ...while each replica matches the in-memory full-grid kernel
+    # (tiled FILE stores f32 values -> f32-level agreement)
+    for r in range(n_rep):
+        want = evaluate_grid(full, pos[r], scal)
+        np.testing.assert_allclose(np.asarray(got.per_atom_energy[r]),
+                                   np.asarray(want.per_atom_energy),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.forces[r]),
+                                   np.asarray(want.forces),
+                                   rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(float(got.energy[r]),
+                                   float(want.energy), rtol=1e-5)
+
+    # distinct regions were read once each and are device-LRU-cached:
+    # a second identical batch costs zero further region builds
+    misses0 = ev.region_misses
+    assert misses0 >= 3
+    got2 = ev.evaluate_batch(pos, scal)
+    assert ev.region_misses == misses0
+    np.testing.assert_array_equal(np.asarray(got2.energy),
+                                  np.asarray(got.energy))
+    ev.close()
