@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--poses", type=int, default=4096)
     ap.add_argument("--spacing", type=float, default=0.025)
     ap.add_argument("--data", default="/root/reference/python/prmtopcrd")
+    ap.add_argument("--streamed", action="store_true",
+                    help="also score out-of-core: grids written to tiled "
+                         "files, poses grouped by region via "
+                         "StreamedGridEvaluator.evaluate_batch")
     args = ap.parse_args()
 
     import jax
@@ -69,13 +73,14 @@ def main():
     print(f"grids {counts} from {rec.natom} receptor atoms", flush=True)
 
     t0 = time.time()
-    packs, scals = [], []
+    packs, scals, raw_grids = [], [], []
     for gt in ["charge", "ljr", "lja"]:
         g = gridgen.generate_grid(
             counts, (args.spacing,) * 3, lo, gt, rec_crd, rec.charges,
             rec.sigmas, rec.epsilons,
             interp_method=InterpolationMethod.BSPLINE,
             backend="pallas" if jax.default_backend() != "cpu" else "jnp")
+        raw_grids.append(g)
         packs.append(pack_grid(g))
         scals.append(np.asarray(gridgen.auto_scaling_factors(
             gt, lig.charges, lig.sigmas, lig.epsilons)))
@@ -105,6 +110,58 @@ def main():
           np.array2string(e[order[:5]], precision=2))
     print(f"crystal pose energy: "
           f"{float(potential_energy(system, [binding], jnp.asarray(lig_crd, jnp.float32))):.2f}")
+
+    if args.streamed:
+        # out-of-core variant: the SAME screen with the grids on disk
+        # (OMGTILE), poses grouped by lattice-aligned region — the
+        # scattered-cloud analogue of the reference's tiled kernel
+        import tempfile
+
+        from openmmgridforce_tpu.io import write_grid_tiled
+        from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+
+        tdir = tempfile.mkdtemp(prefix="screen_tiles_")
+        evs = []
+        for gt, g in zip(["charge", "ljr", "lja"], raw_grids):
+            path = os.path.join(tdir, f"{gt}.tiled")
+            write_grid_tiled(path, g, tile_size=32)
+            evs.append(StreamedGridEvaluator(
+                path, InterpolationMethod.BSPLINE))
+        from openmmgridforce_tpu.mm import grid_energy
+
+        def grids_streamed():
+            eg = np.zeros(args.poses)
+            for ev, scal in zip(evs, scals):
+                eg = eg + np.asarray(
+                    ev.evaluate_batch(poses, scal).energy)
+            return eg
+        eg_s = grids_streamed()             # compile + first region reads
+        t0 = time.time()
+        eg_s = grids_streamed()             # warm: device-LRU regions
+        dt_s = time.time() - t0
+        # parity on the GRID term (the part streaming replaces), over
+        # fully-in-box poses: the intra term of violently clashing
+        # random poses reaches 1e11 kJ/mol and an out-of-box atom draws
+        # ONE fused restraint in-memory but one per grid file here
+        # (documented fused-OOB divergence, COVERAGE.md). The max is
+        # f32-position-quantization bound: the region-local frame
+        # rounds (x - origin) differently by ~1e-7, and clashing atoms
+        # sit on walls with |dE/dx| ~ 1e6 kJ/mol/nm, so ~1e-5 nm of
+        # frame quantization reads as a few kJ/mol there (equivalent
+        # position noise far below thermal).
+        eg_m = np.asarray(jax.jit(jax.vmap(
+            lambda x: grid_energy([binding], x)))(jnp.asarray(poses)))
+        hi = lo + (np.asarray(counts) - 1) * args.spacing
+        in_box = np.all((poses >= lo) & (poses <= hi), axis=(1, 2))
+        rel = (np.abs(eg_s - eg_m)[in_box]
+               / np.maximum(np.abs(eg_m[in_box]), 1.0))
+        print(f"streamed (out-of-core): {args.poses / dt_s:,.0f} poses/s "
+              f"warm; grid-energy rel |dE| vs in-memory median "
+              f"{np.median(rel):.1e} / max {rel.max():.1e} over "
+              f"{int(in_box.sum())}/{args.poses} in-box poses; "
+              f"region hits/misses "
+              f"{sum(ev.region_hits for ev in evs)}/"
+              f"{sum(ev.region_misses for ev in evs)}")
 
 
 if __name__ == "__main__":

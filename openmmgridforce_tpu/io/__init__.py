@@ -1,6 +1,7 @@
 from .gridio import (nc_to_v3, read_dx, read_netcdf,  # noqa: F401
                      save_grid_as_dx, write_dx, write_netcdf)
-from .omgtile import TiledGridReader, TiledGridWriter  # noqa: F401
+from .omgtile import (TiledGridReader, TiledGridWriter,  # noqa: F401
+                      write_grid_tiled)
 from .v3 import (GridFileData, load_v3, save_v3,  # noqa: F401
                  save_v3_griddata)
 

@@ -191,3 +191,30 @@ class TiledGridReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def write_grid_tiled(path, grid, tile_size: int = 32):
+    """Save an in-memory :class:`Grid` as an OMGTILE file — the analogue
+    of the reference's TiledGridData save path
+    (openmmapi/src/TiledGridData.cpp:102-161), so a generated-or-loaded
+    grid can later be streamed out-of-core without regeneration."""
+    vals = np.asarray(grid.vals, np.float32)
+    derivs = None
+    if grid.derivs is not None:
+        derivs = np.moveaxis(np.asarray(grid.derivs, np.float32), -1, 0)
+    counts = vals.shape
+    with TiledGridWriter(
+            path, counts,
+            tuple(float(s) for s in np.asarray(grid.spacing)),
+            tuple(float(o) for o in np.asarray(grid.origin)),
+            tile_size=tile_size, has_derivatives=derivs is not None,
+            inv_power=float(grid.inv_power),
+            inv_power_mode=int(grid.inv_power_mode)) as w:
+        for tx in range(w.ntx):
+            for ty in range(w.nty):
+                for tz in range(w.ntz):
+                    x0, y0, z0, x1, y1, z1 = tile_range(
+                        counts, tile_size, tx, ty, tz)
+                    d = (None if derivs is None
+                         else derivs[:, x0:x1, y0:y1, z0:z1])
+                    w.write_tile(tx, ty, tz, vals[x0:x1, y0:y1, z0:z1], d)

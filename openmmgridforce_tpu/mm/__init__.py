@@ -4,4 +4,5 @@ from .integrators import (MDState, initialize_state,  # noqa: F401
                           make_langevin_step, make_verlet_step, run_segment,
                           run_trajectory)
 from .system import (GridBinding, System, energy_and_forces,  # noqa: F401
-                     make_md_runner, potential_energy, system_from_amber)
+                     grid_energy, make_md_runner, potential_energy,
+                     system_from_amber)

@@ -161,6 +161,17 @@ def _eval_grid(grid, positions, scaling):
     return evaluate_grid(grid, positions, scaling)
 
 
+def grid_energy(grids: Sequence[GridBinding], positions):
+    """Total GRID energy of the bindings (no bonded/pair terms) —
+    dispatches each binding to the right evaluator (Grid, packed,
+    Hermite-packed, fused multi). The public face of the per-kernel
+    dispatch used by potential_energy/energy_and_forces."""
+    e = 0.0
+    for gb in grids:
+        e = e + _eval_grid(gb.grid, positions, gb.scaling).energy
+    return e
+
+
 def potential_energy(system: System, grids: Sequence[GridBinding],
                      positions):
     """Total potential energy (differentiable)."""

@@ -200,3 +200,40 @@ def test_read_dx_to_nm_inverts_write(tmp_path):
     np.testing.assert_allclose(d_nm["spacing"], [0.05, 0.06, 0.07])
     np.testing.assert_allclose(d_nm["origin"], [0.4, 0.5, 0.6])
     np.testing.assert_allclose(d_nm["vals"], vals, rtol=1e-5)
+
+
+def test_write_grid_tiled_roundtrip(tmp_path):
+    """write_grid_tiled (in-memory Grid -> OMGTILE, the reference's
+    TiledGridData-save analogue) round-trips values+derivs exactly at
+    f32 through both TiledGridReader and grid_from_file."""
+    import numpy as np
+
+    from openmmgridforce_tpu.grid import InterpolationMethod, InvPowerMode
+    from openmmgridforce_tpu.io import (TiledGridReader, grid_from_file,
+                                        write_grid_tiled)
+    from openmmgridforce_tpu.ops.gridgen import generate_grid
+
+    rng = np.random.default_rng(23)
+    rec = rng.uniform(0.1, 0.9, (10, 3))
+    g = generate_grid((9, 8, 11), (0.1, 0.12, 0.09), (0.0,) * 3, "ljr",
+                      rec, np.abs(rng.uniform(0.1, 0.5, 10)),
+                      np.full(10, 0.3), np.full(10, 0.6),
+                      compute_derivatives=True,
+                      interp_method=InterpolationMethod.TRICUBIC,
+                      inv_power=2.0, inv_power_mode=InvPowerMode.STORED)
+    path = str(tmp_path / "rt.tiled")
+    write_grid_tiled(path, g, tile_size=4)
+
+    with TiledGridReader(path) as r:
+        vals, derivs = r.read_full()
+        assert r.inv_power == 2.0
+        assert r.inv_power_mode == int(InvPowerMode.STORED)
+    np.testing.assert_array_equal(vals,
+                                  np.asarray(g.vals, np.float32))
+    np.testing.assert_array_equal(
+        derivs, np.moveaxis(np.asarray(g.derivs, np.float32), -1, 0))
+
+    g2 = grid_from_file(path,
+                        interp_method=InterpolationMethod.TRICUBIC)
+    np.testing.assert_array_equal(np.asarray(g2.vals, np.float32),
+                                  np.asarray(g.vals, np.float32))
