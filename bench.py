@@ -115,7 +115,7 @@ def main():
     import jax
 
     n_replicas = int(os.environ.get("BENCH_REPLICAS", "1000"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "200"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
 
     accel = jax.devices()[0]
     log(f"benchmark device: {accel} ({n_replicas} replicas, "

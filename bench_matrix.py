@@ -127,7 +127,7 @@ def main():
     dev = jax.devices()[0]
     n_replicas = 8 if SMOKE else int(os.environ.get("BENCH_REPLICAS",
                                                     "1000"))
-    n_steps = 20 if SMOKE else int(os.environ.get("BENCH_STEPS", "200"))
+    n_steps = 20 if SMOKE else int(os.environ.get("BENCH_STEPS", "1000"))
     dtype = jnp.float32
     log(f"device {dev}; {n_replicas} replicas, {n_steps} timed steps")
 
