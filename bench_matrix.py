@@ -213,9 +213,13 @@ def main():
     bench("bspline packed+fused, r-RESPA(4x1fs)", system, fused, 3,
           runner=respa_runner(n_steps // 4, 4), steps=n_steps // 4,
           note="outer steps; grid kicked 4x less often")
+    # slow rows get shorter dispatches: at >30 ms/step the RTT share
+    # is negligible and the tunnel kills ~minute-long single dispatches
+    slow = min(200, n_steps)
     bench("bspline direct (reference layout, 64-pt stencil)", system,
           [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt], dtype))
-           for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3)
+           for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3,
+          steps=slow)
     del multi_b, fused, bsp
 
     # --- Hermite methods (0.05 nm, 27 derivatives) ---------------------
@@ -236,7 +240,8 @@ def main():
         bench(f"{mname} hermite-packed (f32-accurate)", system,
               [GridBinding(grid=hp, scaling=jnp.asarray(scalings[gt],
                                                         dtype))
-               for hp, gt in zip(hps, ["charge", "ljr", "lja"])], 3)
+               for hp, gt in zip(hps, ["charge", "ljr", "lja"])], 3,
+              steps=slow)
         from openmmgridforce_tpu.ops.packed import combine_hermite_packed
         hmulti = combine_hermite_packed(hps)
         bench(f"{mname} hermite-packed+fused (f32-accurate)", system,
@@ -245,7 +250,8 @@ def main():
         bench(f"{mname} direct Hermite (8-corner gather)", system,
               [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt],
                                                        dtype))
-               for g, gt in zip(gd, ["charge", "ljr", "lja"])], 3)
+               for g, gt in zip(gd, ["charge", "ljr", "lja"])], 3,
+              steps=slow)
         del gd
 
     # --- publish ---------------------------------------------------------
