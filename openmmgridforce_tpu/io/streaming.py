@@ -150,16 +150,7 @@ class StreamedGridEvaluator:
             inv_power=self.inv_power,
             oob_k=self.oob_k,
         )
-        lo_h, hi_h = _HALO[self.interp_method]
-        last = start + np.asarray(self.region_shape) - 1
-        full_corner = full_origin + (counts - 1) * spacing
-        interior_lo = np.where(start > 0,
-                               full_origin + (start + lo_h) * spacing,
-                               full_origin)
-        interior_hi = np.where(last < counts - 1,
-                               full_origin + (last - hi_h) * spacing,
-                               full_corner)
-        return grid, (interior_lo, interior_hi)
+        return grid, self._interior_box(start)
 
     def region_grid(self, positions):
         """Read the region covering ``positions`` and return
@@ -224,6 +215,53 @@ class StreamedGridEvaluator:
         if np.all(cell_hi <= aligned + shape - 1):
             return aligned
         return np.clip(cell_lo, 0, max_start)
+
+    def _centered_region_for(self, pos):
+        """Region start CENTERING one cloud — for MD stepping, where the
+        symmetric margin (not cache alignment) sets how long a segment
+        can run before the cloud reaches the interior boundary. Raises
+        if the cloud cannot fit a region."""
+        spacing = np.asarray(self.stream.spacing)
+        origin = np.asarray(self.stream.origin)
+        counts = np.asarray(self.stream.counts)
+        shape = np.asarray(self.region_shape)
+        lo_h, hi_h = _HALO[self.interp_method]
+
+        pos = np.asarray(pos)
+        corner = origin + (counts - 1) * spacing
+        inside = np.all((pos >= origin) & (pos <= corner), axis=1)
+        if not np.any(inside):
+            return np.zeros(3, dtype=int)
+        t = (pos[inside] - origin) / spacing
+        cell_lo = np.clip(np.floor(t.min(axis=0)).astype(int) - lo_h,
+                          0, counts - 1)
+        cell_hi = np.clip(np.floor(t.max(axis=0)).astype(int) + 1 + hi_h,
+                          0, counts - 1)
+        if np.any(cell_hi - cell_lo + 1 > shape):
+            raise ValueError(
+                f"one replica's cloud needs region "
+                f"{tuple(cell_hi - cell_lo + 1)} > configured "
+                f"{self.region_shape}; enlarge region_shape")
+        mid = (cell_lo + cell_hi + 1) // 2
+        return np.clip(mid - shape // 2, 0,
+                       np.maximum(counts - shape, 0))
+
+    def _interior_box(self, start):
+        """(interior_lo, interior_hi) world box of region ``start`` —
+        pure geometry, no file read (extends to the full-grid boundary
+        wherever the region touches it)."""
+        spacing = np.asarray(self.stream.spacing)
+        origin = np.asarray(self.stream.origin)
+        counts = np.asarray(self.stream.counts)
+        lo_h, hi_h = _HALO[self.interp_method]
+        start = np.asarray(start, dtype=int)
+        last = start + np.asarray(self.region_shape) - 1
+        corner = origin + (counts - 1) * spacing
+        interior_lo = np.where(start > 0,
+                               origin + (start + lo_h) * spacing, origin)
+        interior_hi = np.where(last < counts - 1,
+                               origin + (last - hi_h) * spacing, corner)
+        return interior_lo, interior_hi
 
     def _region_cached(self, start):
         """Device-resident region LRU keyed by start (bounded by

@@ -22,9 +22,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.streaming import StreamedGridEvaluator, evaluate_streamed
+from ..io.streaming import StreamedGridEvaluator
+from ..ops.packed import combine_packed_grids, evaluate_multi, pack_grid
 from .integrators import MDState, make_langevin_step, run_segment
 from .system import System, energy_and_forces
+
+
+def _cloud_bounds(positions, full_lo, full_hi):
+    """Per-replica bbox of the IN-GRID atoms, on device: keeps the
+    host's per-segment download at [R, 7] floats instead of the whole
+    [R, N, 3] position tensor (the tunnel's ~2.5 MB/s makes full
+    position syncs the dominant cost otherwise). Returns
+    (lo [R,3], hi [R,3], any_in [R])."""
+    inside = jnp.all((positions >= full_lo) & (positions <= full_hi),
+                     axis=-1, keepdims=True)                 # [R, N, 1]
+    big = jnp.asarray(jnp.inf, positions.dtype)
+    lo = jnp.min(jnp.where(inside, positions, big), axis=-2)
+    hi = jnp.max(jnp.where(inside, positions, -big), axis=-2)
+    return lo, hi, jnp.any(inside[..., 0], axis=-1)
 
 
 class StreamedBatchMD:
@@ -56,11 +71,21 @@ class StreamedBatchMD:
         self.scheme = scheme
         self.refresh_steps = int(refresh_steps)
         self._runners = {}
+        self._starts = None     # [R, 3] per-replica region hysteresis
+        # fused PACKED regions: per-cell polynomial coefficients of all
+        # co-located grids (one lane-padded row gather per atom — the
+        # same fast path as in-memory MD; the direct stencil kernel is
+        # ~100x slower per step). Packed rows are memory-hungry (64-216
+        # coeffs/cell/grid), so keep only a couple resident.
+        self._packed = {}
+        self.packed_regions = 2
 
     def _runner(self, n_steps: int):
-        """Jitted group-segment runner; region grids are ARGUMENTS so the
-        compiled program is shared by every region (and never embeds
-        multi-MB tables as HLO constants)."""
+        """Jitted group-segment runner; the fused PACKED region is an
+        ARGUMENT so the compiled program is shared by every region (and
+        never embeds multi-MB tables as HLO constants). Atoms outside
+        the FULL grid take the full-box restraint (applied once per
+        fused set, like the in-memory fused path)."""
         run = self._runners.get(n_steps)
         if run is not None:
             return run
@@ -69,77 +94,176 @@ class StreamedBatchMD:
         oob_k = ev0.oob_k
         dt, friction, scheme = self.dt, self.friction, self.scheme
 
-        def seg(states, system, grids, scalings, temps):
+        def seg(states, system, fused, scal_stack, temps):
+            lo = jnp.asarray(full_lo, states.positions.dtype)
+            hi = jnp.asarray(full_hi, states.positions.dtype)
+
             def one(state, t):
                 def force_fn(x):
                     f = energy_and_forces(system, [], x)[1]
-                    for g, s in zip(grids, scalings):
-                        f = f + evaluate_streamed(
-                            g, full_lo, full_hi, x, s, oob_k).forces
-                    return f
+                    res = evaluate_multi(fused, x, scal_stack)
+                    inside = jnp.all((x >= lo) & (x <= hi), axis=1)
+                    dev = jnp.where(x < lo, x - lo,
+                                    jnp.where(x > hi, x - hi, 0.0))
+                    return f + jnp.where(inside[:, None], res.forces,
+                                         -oob_k * dev)
                 step = make_langevin_step(
                     force_fn, system.masses, dt, friction, t,
                     scheme=scheme, constraints=system.constraints)
                 return run_segment(step, state, n_steps)
-            return jax.vmap(one)(states, temps)
+            out = jax.vmap(one)(states, temps)
+            return out, _cloud_bounds(out.positions, lo, hi)
 
         run = jax.jit(seg)
         self._runners[n_steps] = run
         return run
 
+    def _packed_region(self, start):
+        """Fused packed region for ``start``: read each evaluator's
+        region (through its device LRU), pack to per-cell coefficients,
+        fuse into one multi-grid row table. Hysteresis keeps regions
+        stable across segments, so the pack cost amortizes."""
+        key = tuple(int(s) for s in start)
+        hit = self._packed.get(key)
+        if hit is not None:
+            self._packed.pop(key)
+            self._packed[key] = hit
+            return hit
+        grids, ilo, ihi = [], None, None
+        for ev in self.evaluators:
+            g, (lo, hi) = ev._region_cached(start)
+            grids.append(g)
+            ilo = lo if ilo is None else np.maximum(ilo, lo)
+            ihi = hi if ihi is None else np.minimum(ihi, hi)
+        fused = combine_packed_grids([pack_grid(g) for g in grids])
+        built = (fused, (ilo, ihi))
+        self._packed[key] = built
+        while len(self._packed) > self.packed_regions:
+            self._packed.pop(next(iter(self._packed)))
+        return built
+
     def run(self, states: MDState, temperatures, n_steps: int) -> MDState:
-        """Advance every replica ``n_steps``; returns the new batch."""
+        """Advance every replica ``n_steps``; returns the new batch.
+
+        Host traffic per segment is O(R) floats (in-grid cloud bboxes
+        computed on device), never the position tensor; the common
+        all-replicas-one-region case runs the segment with zero
+        gather/scatter dispatches."""
         n_rep = states.positions.shape[0]
         dtype = states.positions.dtype
         temps = np.broadcast_to(np.asarray(temperatures), (n_rep,))
-        ev0 = self.evaluators[0]
+        full_lo, full_hi = self.evaluators[0].full_box
+        b0 = jax.jit(_cloud_bounds)(states.positions,
+                                    jnp.asarray(full_lo, dtype),
+                                    jnp.asarray(full_hi, dtype))
+        bounds = tuple(np.asarray(x) for x in b0)
+        scal_stack = jnp.asarray(np.stack(self.scalings), dtype)
         done = 0
         while done < n_steps:
             k = min(self.refresh_steps, n_steps - done)
             runner = self._runner(k)
-            pos = np.asarray(states.positions)
-            starts = np.stack([ev0._aligned_region_for(p) for p in pos])
+            starts = self._assign_regions(bounds)
             uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
-            perm, outs, interiors = [], [], []
-            for u in range(uniq.shape[0]):
-                idx = np.nonzero(inverse == u)[0]
-                grids, scals = [], []
-                ilo, ihi = None, None
-                for ev, sc in zip(self.evaluators, self.scalings):
-                    g, (lo, hi) = ev._region_cached(uniq[u])
-                    grids.append(g)
-                    scals.append(jnp.asarray(sc, dtype))
-                    # tightest interior across methods' halos
-                    ilo = lo if ilo is None else np.maximum(ilo, lo)
-                    ihi = hi if ihi is None else np.minimum(ihi, hi)
-                b = 1 << (len(idx) - 1).bit_length()
-                pad = np.concatenate([idx,
-                                      np.repeat(idx[:1], b - len(idx))])
-                sub = jax.tree.map(lambda x: x[pad], states)
-                out = runner(sub, self.system, tuple(grids), tuple(scals),
-                             jnp.asarray(temps[pad], dtype))
-                perm.append(idx)
-                outs.append(jax.tree.map(lambda x: x[:len(idx)], out))
-                interiors.append((ilo, ihi))
-            order = np.argsort(np.concatenate(perm))
-            states = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
+            if uniq.shape[0] == 1:
+                fused, interior = self._packed_region(uniq[0])
+                states, b = runner(states, self.system, fused, scal_stack,
+                                   jnp.asarray(temps, dtype))
+                bounds = tuple(np.asarray(x) for x in b)
+                interiors, perm = [interior], [np.arange(n_rep)]
+            else:
+                perm, outs, bparts, interiors = [], [], [], []
+                for u in range(uniq.shape[0]):
+                    idx = np.nonzero(inverse == u)[0]
+                    fused, interior = self._packed_region(uniq[u])
+                    nb = 1 << (len(idx) - 1).bit_length()
+                    pad = np.concatenate(
+                        [idx, np.repeat(idx[:1], nb - len(idx))])
+                    sub = jax.tree.map(lambda x: x[pad], states)
+                    out, b = runner(sub, self.system, fused, scal_stack,
+                                    jnp.asarray(temps[pad], dtype))
+                    perm.append(idx)
+                    outs.append(jax.tree.map(lambda x: x[:len(idx)],
+                                             out))
+                    bparts.append(tuple(np.asarray(x)[:len(idx)]
+                                        for x in b))
+                    interiors.append(interior)
+                order = np.argsort(np.concatenate(perm))
+                states = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
+                bounds = tuple(
+                    np.concatenate([bp[j] for bp in bparts])[order]
+                    for j in range(3))
             done += k
-            self._check_bounds(np.asarray(states.positions),
-                               np.concatenate(perm), interiors, perm)
+            self._check_bounds(bounds, interiors, perm)
         return states
 
-    def _check_bounds(self, pos, flat_idx, interiors, perm):
-        """Every atom must end the segment inside its replica's region
-        interior or outside the full grid (restraint branch); anything
-        else means the cloud outran the region mid-segment."""
-        flo, fhi = self.evaluators[0].full_box
+    def _assign_regions(self, bounds):
+        """Per-replica region starts from in-grid cloud bboxes, with
+        hysteresis: keep a replica's previous region while its cloud
+        stays inside that region's interior; otherwise re-CENTER a
+        region on the cloud (maximal symmetric margin for the coming
+        segment). All-outside replicas keep whatever region they have
+        (only the restraint branch runs for them)."""
+        blo, bhi, any_in = bounds
+        ev0 = self.evaluators[0]
+        spacing = np.asarray(ev0.stream.spacing)
+        origin = np.asarray(ev0.stream.origin)
+        counts = np.asarray(ev0.stream.counts)
+        shape = np.asarray(ev0.region_shape)
+        from ..io.streaming import _HALO
+        lo_h, hi_h = _HALO[ev0.interp_method]
+        n_rep = len(any_in)
+        if self._starts is not None and len(self._starts) != n_rep:
+            self._starts = None
+
+        # placeholder bbox for all-outside replicas (start stays 0/prev)
+        safe_lo = np.where(any_in[:, None], blo, origin)
+        safe_hi = np.where(any_in[:, None], bhi, origin)
+        cell_lo = np.clip(
+            np.floor((safe_lo - origin) / spacing).astype(int) - lo_h,
+            0, counts - 1)
+        cell_hi = np.clip(
+            np.floor((safe_hi - origin) / spacing).astype(int) + 1 + hi_h,
+            0, counts - 1)
+        need = cell_hi - cell_lo + 1
+        too_big = any_in & np.any(need > shape, axis=1)
+        if np.any(too_big):
+            i = int(np.argmax(too_big))
+            raise ValueError(
+                f"replica {i}'s cloud needs region {tuple(need[i])} > "
+                f"configured {tuple(shape)}; enlarge region_shape")
+        mid = (cell_lo + cell_hi + 1) // 2
+        max_start = np.maximum(counts - shape, 0)
+        centered = np.clip(mid - shape // 2, 0, max_start)
+
+        if self._starts is None:
+            starts = np.where(any_in[:, None], centered, 0)
+        else:
+            # tightest interior across evaluators' halos (mirrors
+            # _packed_region / _check_bounds)
+            ilo = ihi = None
+            for ev in self.evaluators:
+                lo_e, hi_e = ev._interior_box(self._starts)
+                ilo = lo_e if ilo is None else np.maximum(ilo, lo_e)
+                ihi = hi_e if ihi is None else np.minimum(ihi, hi_e)
+            keep = (~any_in) | (np.all(blo >= ilo, axis=1)
+                                & np.all(bhi <= ihi, axis=1))
+            starts = np.where(keep[:, None], self._starts, centered)
+        self._starts = starts
+        return starts
+
+    def _check_bounds(self, bounds, interiors, perm):
+        """Every replica's in-grid cloud bbox must end the segment
+        inside its region interior (all-outside replicas are exempt:
+        only the restraint branch ran for them); anything else means
+        the cloud outran the region mid-segment."""
+        blo, bhi, any_in = bounds
         for (ilo, ihi), idx in zip(interiors, perm):
-            p = pos[idx]
-            ok = (np.all((p >= ilo) & (p <= ihi), axis=2)
-                  | np.any((p < flo) | (p > fhi), axis=2))
+            ok = ((~any_in[idx])
+                  | (np.all(blo[idx] >= ilo, axis=1)
+                     & np.all(bhi[idx] <= ihi, axis=1)))
             if not np.all(ok):
-                bad = idx[~np.all(ok, axis=1)]
+                bad = np.asarray(idx)[~ok]
                 raise RuntimeError(
                     f"replicas {bad.tolist()} crossed their streamed "
                     f"region boundary during a {self.refresh_steps}-step "

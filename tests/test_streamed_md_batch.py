@@ -72,9 +72,14 @@ def test_streamed_batch_matches_in_memory(tmp_path):
                          refresh_steps=10)
     got = md.run(states, 0.0, 30)   # T=0: deterministic (no noise)
 
+    # in-memory reference uses the SAME fused-packed representation the
+    # streamed runner packs its regions into (restraint-once semantics)
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
     run_mem = make_md_runner(10, dt=0.0005, friction=2.0)
-    bindings = [GridBinding(grid=g, scaling=jnp.asarray(s))
-                for g, s in zip(grids, scals)]
+    fused = combine_packed_grids([pack_grid(g) for g in grids])
+    bindings = [GridBinding(grid=fused,
+                            scaling=jnp.asarray(np.stack(scals)))]
     want = states
     for _ in range(3):
         want = run_mem(want, system, bindings,
