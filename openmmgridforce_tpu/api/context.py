@@ -220,6 +220,9 @@ class _GridBindingInfo:
         # streamed-stepping bookkeeping (world coords, numpy):
         self.full_box = streamer.full_box if streamer is not None else None
         self.interior = None            # (lo, hi) of the current region
+        # packed-region cache for MD stepping (keyed by region identity)
+        self._packed_region = None
+        self._packed_key = None
 
 
 class Platform:
@@ -585,7 +588,22 @@ class Context:
                 pos = np.asarray(self._positions)[
                     np.asarray(info.atom_indices)]
                 g, info.interior = info.streamer.region_grid(pos)
-                grids.append(g)
+                # pack the region into the single-row-gather fast path
+                # (~100x faster per MD step than the direct stencil
+                # kernel); cached until the streamer refreshes the
+                # region. Bounded to keep out-of-core memory bounded:
+                # packs above ~512 MB fall back to the direct kernel.
+                if info._packed_key != id(g):
+                    from ..ops.packed import pack_grid
+                    ncells = int(np.prod(np.asarray(g.counts) - 1))
+                    kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[
+                        int(g.interp_method)]
+                    if ncells * kcoef * 4 <= 512 << 20:
+                        info._packed_region = pack_grid(g)
+                    else:
+                        info._packed_region = g
+                    info._packed_key = id(g)
+                grids.append(info._packed_region)
             else:
                 grids.append(info.grid)
         return gidx, tuple(grids)

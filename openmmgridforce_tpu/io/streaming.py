@@ -19,10 +19,14 @@ from ..units import DEFAULT_OOB_K
 from .native import NativeTileStream
 
 
-def evaluate_streamed(grid: Grid, full_origin, full_corner, positions,
+def evaluate_streamed(grid, full_origin, full_corner, positions,
                       scaling, oob_k: float) -> GridEval:
-    """Evaluate atoms on a region-resident :class:`Grid`, applying the
+    """Evaluate atoms on a region-resident grid, applying the
     out-of-bounds restraint of the FULL grid box (jit-compatible).
+
+    ``grid`` may be a raw :class:`Grid` (direct stencil kernel) or a
+    :class:`PackedGrid` of the region (the single-row-gather fast path
+    — what MD steppers should use; ~100x faster per step).
 
     The region grid's own inside-test uses the region box; atoms outside
     the full grid must be restrained toward the full box instead
@@ -33,7 +37,12 @@ def evaluate_streamed(grid: Grid, full_origin, full_corner, positions,
     """
     import jax.numpy as jnp
 
-    res = evaluate_grid(grid, positions, scaling)
+    from ..ops.packed import PackedGrid, evaluate_packed
+
+    if isinstance(grid, PackedGrid):
+        res = evaluate_packed(grid, positions, scaling)
+    else:
+        res = evaluate_grid(grid, positions, scaling)
     full_origin = jnp.asarray(full_origin, positions.dtype)
     full_corner = jnp.asarray(full_corner, positions.dtype)
     inside_full = jnp.all((positions >= full_origin)
