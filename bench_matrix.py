@@ -220,6 +220,40 @@ def main():
           [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt], dtype))
            for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3,
           steps=slow)
+    # out-of-core row: the SAME B-spline grids streamed from OMGTILE
+    # files, regions packed on read (mm.StreamedBatchMD)
+    import tempfile
+
+    from openmmgridforce_tpu.io import write_grid_tiled
+    from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+    from openmmgridforce_tpu.mm import StreamedBatchMD
+    tdir = tempfile.mkdtemp(prefix="benchmatrix_tiles_")
+    evs = []
+    for gt, g in zip(["charge", "ljr", "lja"], bsp):
+        p = os.path.join(tdir, f"{gt}.tiled")
+        write_grid_tiled(p, g, tile_size=32)
+        evs.append(StreamedGridEvaluator(p, InterpolationMethod.BSPLINE,
+                                         region_shape=(112, 112, 112)))
+    try:
+        smd = StreamedBatchMD(
+            evs, [scalings[gt] for gt in ["charge", "ljr", "lja"]],
+            system, dt=0.001, friction=5.0, refresh_steps=200)
+        t0 = time.time()
+        st = smd.run(states0, temps, 400)      # warm: compiles + regions
+        jax.block_until_ready(st.positions)
+        t1 = time.time()
+        st = smd.run(st, temps, 1000)
+        jax.block_until_ready(st.positions)
+        v = 1000 / (time.time() - t1)
+        name = "bspline streamed out-of-core (packed regions, 200-step segments)"
+        evals = v * n_replicas * n_atoms * 3
+        log(f"{name}: {v:,.1f} steps/s ({evals/1e6:,.1f}M atom-evals/s) "
+            f"[{time.time()-t0:.0f}s incl compile]")
+        rows.append((name, v, evals, ""))
+    except RuntimeError as e:        # region crossing (charge fusion)
+        log(f"streamed row skipped: {e}")
+    for ev in evs:
+        ev.close()
     del multi_b, fused, bsp
 
     # --- Hermite methods (0.05 nm, 27 derivatives) ---------------------

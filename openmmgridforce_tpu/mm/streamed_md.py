@@ -11,8 +11,10 @@ jitted vmapped dispatch with the region grids passed as arguments
 (never baked into HLO), and groups are reformed between segments as the
 clouds drift. Atoms outside the full grid take the full-box restraint
 (reference OOB semantics), and any replica whose cloud outruns its
-region mid-segment is detected after the segment and reported, exactly
-like the single-cloud Context streaming path."""
+region mid-segment is detected at the segment boundary — the segment
+then re-runs from its saved start in smaller chunks with re-centered
+regions, raising only if the cloud outruns the margin within ~a dozen
+steps."""
 
 from __future__ import annotations
 
@@ -40,6 +42,10 @@ def _cloud_bounds(positions, full_lo, full_hi):
     lo = jnp.min(jnp.where(inside, positions, big), axis=-2)
     hi = jnp.max(jnp.where(inside, positions, -big), axis=-2)
     return lo, hi, jnp.any(inside[..., 0], axis=-1)
+
+
+class _RegionCrossing(RuntimeError):
+    """A replica's cloud left its region's interior within a segment."""
 
 
 class StreamedBatchMD:
@@ -148,7 +154,12 @@ class StreamedBatchMD:
         Host traffic per segment is O(R) floats (in-grid cloud bboxes
         computed on device), never the position tensor; the common
         all-replicas-one-region case runs the segment with zero
-        gather/scatter dispatches."""
+        gather/scatter dispatches. A replica whose cloud outruns its
+        region mid-segment (e.g. a charge-fusion-accelerated atom) is
+        detected at the segment boundary and the segment re-runs from
+        its saved start in quarter-length chunks with re-centered
+        regions — only a cloud faster than the region margin over ~a
+        dozen steps still raises."""
         n_rep = states.positions.shape[0]
         dtype = states.positions.dtype
         temps = np.broadcast_to(np.asarray(temperatures), (n_rep,))
@@ -161,41 +172,64 @@ class StreamedBatchMD:
         done = 0
         while done < n_steps:
             k = min(self.refresh_steps, n_steps - done)
-            runner = self._runner(k)
-            starts = self._assign_regions(bounds)
-            uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
-            if uniq.shape[0] == 1:
-                fused, interior = self._packed_region(uniq[0])
-                states, b = runner(states, self.system, fused, scal_stack,
-                                   jnp.asarray(temps, dtype))
-                bounds = tuple(np.asarray(x) for x in b)
-                interiors, perm = [interior], [np.arange(n_rep)]
-            else:
-                perm, outs, bparts, interiors = [], [], [], []
-                for u in range(uniq.shape[0]):
-                    idx = np.nonzero(inverse == u)[0]
-                    fused, interior = self._packed_region(uniq[u])
-                    nb = 1 << (len(idx) - 1).bit_length()
-                    pad = np.concatenate(
-                        [idx, np.repeat(idx[:1], nb - len(idx))])
-                    sub = jax.tree.map(lambda x: x[pad], states)
-                    out, b = runner(sub, self.system, fused, scal_stack,
-                                    jnp.asarray(temps[pad], dtype))
-                    perm.append(idx)
-                    outs.append(jax.tree.map(lambda x: x[:len(idx)],
-                                             out))
-                    bparts.append(tuple(np.asarray(x)[:len(idx)]
-                                        for x in b))
-                    interiors.append(interior)
-                order = np.argsort(np.concatenate(perm))
-                states = jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
-                bounds = tuple(
-                    np.concatenate([bp[j] for bp in bparts])[order]
-                    for j in range(3))
+            states, bounds = self._run_chunk(states, bounds, temps,
+                                             scal_stack, k, depth=0)
             done += k
-            self._check_bounds(bounds, interiors, perm)
         return states
+
+    def _run_chunk(self, states, bounds, temps, scal_stack, k, depth):
+        try:
+            return self._segment(states, bounds, temps, scal_stack, k)
+        except _RegionCrossing:
+            if depth >= 2 or k < 4:
+                raise
+            sub = max(k // 4, 1)
+            left = k
+            while left > 0:
+                piece = min(sub, left)
+                states, bounds = self._run_chunk(states, bounds, temps,
+                                                 scal_stack, piece,
+                                                 depth + 1)
+                left -= piece
+            return states, bounds
+
+    def _segment(self, states, bounds, temps, scal_stack, k):
+        n_rep = states.positions.shape[0]
+        dtype = states.positions.dtype
+        runner = self._runner(k)
+        starts = self._assign_regions(bounds)
+        uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
+        if uniq.shape[0] == 1:
+            fused, interior = self._packed_region(uniq[0])
+            states, b = runner(states, self.system, fused, scal_stack,
+                               jnp.asarray(temps, dtype))
+            bounds = tuple(np.asarray(x) for x in b)
+            interiors, perm = [interior], [np.arange(n_rep)]
+        else:
+            perm, outs, bparts, interiors = [], [], [], []
+            for u in range(uniq.shape[0]):
+                idx = np.nonzero(inverse == u)[0]
+                fused, interior = self._packed_region(uniq[u])
+                nb = 1 << (len(idx) - 1).bit_length()
+                pad = np.concatenate(
+                    [idx, np.repeat(idx[:1], nb - len(idx))])
+                sub = jax.tree.map(lambda x: x[pad], states)
+                out, b = runner(sub, self.system, fused, scal_stack,
+                                jnp.asarray(temps[pad], dtype))
+                perm.append(idx)
+                outs.append(jax.tree.map(lambda x: x[:len(idx)],
+                                         out))
+                bparts.append(tuple(np.asarray(x)[:len(idx)]
+                                    for x in b))
+                interiors.append(interior)
+            order = np.argsort(np.concatenate(perm))
+            states = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
+            bounds = tuple(
+                np.concatenate([bp[j] for bp in bparts])[order]
+                for j in range(3))
+        self._check_bounds(bounds, interiors, perm, k)
+        return states, bounds
 
     def _assign_regions(self, bounds):
         """Per-replica region starts from in-grid cloud bboxes, with
@@ -252,11 +286,13 @@ class StreamedBatchMD:
         self._starts = starts
         return starts
 
-    def _check_bounds(self, bounds, interiors, perm):
+    def _check_bounds(self, bounds, interiors, perm, k):
         """Every replica's in-grid cloud bbox must end the segment
         inside its region interior (all-outside replicas are exempt:
         only the restraint branch ran for them); anything else means
-        the cloud outran the region mid-segment."""
+        the cloud outran the region mid-segment — raised as
+        _RegionCrossing so run() can re-run the segment in smaller
+        chunks before giving up."""
         blo, bhi, any_in = bounds
         for (ilo, ihi), idx in zip(interiors, perm):
             ok = ((~any_in[idx])
@@ -264,8 +300,7 @@ class StreamedBatchMD:
                      & np.all(bhi[idx] <= ihi, axis=1)))
             if not np.all(ok):
                 bad = np.asarray(idx)[~ok]
-                raise RuntimeError(
+                raise _RegionCrossing(
                     f"replicas {bad.tolist()} crossed their streamed "
-                    f"region boundary during a {self.refresh_steps}-step "
-                    "segment; lower refresh_steps or enlarge "
-                    "region_shape")
+                    f"region boundary during a {k}-step segment; lower "
+                    "refresh_steps or enlarge region_shape")
