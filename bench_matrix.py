@@ -220,24 +220,44 @@ def main():
           [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt], dtype))
            for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3,
           steps=slow)
-    # out-of-core row: the SAME B-spline grids streamed from OMGTILE
-    # files, regions packed on read (mm.StreamedBatchMD)
+    # out-of-core row: a 4x-bigger B-spline grid set (2.5 nm margin —
+    # the regime streaming exists for: grid >> cloud wander range)
+    # streamed from OMGTILE files, regions packed on read
+    # (mm.StreamedBatchMD)
     import tempfile
 
     from openmmgridforce_tpu.io import write_grid_tiled
     from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
-    from openmmgridforce_tpu.mm import StreamedBatchMD
+    from openmmgridforce_tpu.mm import (StreamedBatchMD, load_inpcrd,
+                                        load_prmtop)
     tdir = tempfile.mkdtemp(prefix="benchmatrix_tiles_")
+    s_margin = 0.4 if SMOKE else 2.5
+    s_lo = crd.min(0) - s_margin
+    s_counts = tuple(int(c) + 1 for c in np.ceil(
+        (crd.max(0) + s_margin - s_lo) / sp_v))
+    srec = load_prmtop(f"{DATA}/receptor.prmtop")
+    srec_crd = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
     evs = []
-    for gt, g in zip(["charge", "ljr", "lja"], bsp):
+    for gt in ["charge", "ljr", "lja"]:
+        sg = gridgen.generate_grid(
+            s_counts, sp_v, tuple(s_lo), gt, srec_crd,
+            srec.charges, srec.sigmas, srec.epsilons,
+            interp_method=InterpolationMethod.BSPLINE,
+            backend="jnp" if SMOKE else "pallas",
+            dtype=dtype)
         p = os.path.join(tdir, f"{gt}.tiled")
-        write_grid_tiled(p, g, tile_size=32)
+        write_grid_tiled(p, sg, tile_size=32)
+        del sg
         evs.append(StreamedGridEvaluator(p, InterpolationMethod.BSPLINE,
-                                         region_shape=(112, 112, 112)))
+                                         region_shape=(128, 128, 128)))
     try:
+        # dt=0.5 fs: per-step cost is dt-independent, but the streamed
+        # path VALIDATES region containment each segment and a rare
+        # dt=1fs fusion blowup (one atom at ~80 nm/ps — the in-memory
+        # rows silently tolerate it) would abort the row
         smd = StreamedBatchMD(
             evs, [scalings[gt] for gt in ["charge", "ljr", "lja"]],
-            system, dt=0.001, friction=5.0, refresh_steps=200)
+            system, dt=0.0005, friction=5.0, refresh_steps=200)
         t0 = time.time()
         st = smd.run(states0, temps, 400)      # warm: compiles + regions
         jax.block_until_ready(st.positions)
@@ -249,7 +269,9 @@ def main():
         evals = v * n_replicas * n_atoms * 3
         log(f"{name}: {v:,.1f} steps/s ({evals/1e6:,.1f}M atom-evals/s) "
             f"[{time.time()-t0:.0f}s incl compile]")
-        rows.append((name, v, evals, ""))
+        rows.append((name, v, evals,
+                     "4.2x-bigger grid on disk; dt=0.5fs (validated "
+                     "containment)"))
     except RuntimeError as e:        # region crossing (charge fusion)
         log(f"streamed row skipped: {e}")
     for ev in evs:
