@@ -102,9 +102,12 @@ class StreamedGridEvaluator:
             raise ValueError(
                 "tiled file has no derivatives; Hermite methods need them")
 
-    def _region_for(self, positions):
-        """Choose the region start so the atom cloud plus stencil halo
-        fits; raises if the cloud exceeds the configured region."""
+    def _cell_bounds(self, positions):
+        """Halo-inclusive (cell_lo, cell_hi) covering one cloud's
+        IN-GRID atoms, or ``None`` when no atom is inside the full grid
+        (those take the restraint branch and need no grid data). Raises
+        if the cloud cannot fit one region. The single shared
+        implementation behind every region-placement policy."""
         spacing = np.asarray(self.stream.spacing)
         origin = np.asarray(self.stream.origin)
         counts = np.asarray(self.stream.counts)
@@ -114,9 +117,7 @@ class StreamedGridEvaluator:
         corner = origin + (counts - 1) * spacing
         inside = np.all((pos >= origin) & (pos <= corner), axis=1)
         if not np.any(inside):
-            return np.zeros(3, dtype=int)
-        # atoms outside the full grid take the restraint branch and need no
-        # grid data: only inside atoms size the region
+            return None
         t = (pos[inside] - origin) / spacing
         cell_lo = np.clip(np.floor(t.min(axis=0)).astype(int) - lo_h,
                           0, counts - 1)
@@ -127,9 +128,15 @@ class StreamedGridEvaluator:
             raise ValueError(
                 f"atom cloud needs region {tuple(need)} > configured "
                 f"{self.region_shape}; enlarge region_shape")
-        start = np.clip(cell_lo, 0, np.maximum(counts - self.region_shape,
-                                               0))
-        return start
+        return cell_lo, cell_hi
+
+    def _region_for(self, positions):
+        """Region start for one cloud — CENTERED, so drift in any
+        direction has the same (maximal) margin before the next refresh.
+        (An edge-flush start leaves sub-spacing margin on the low side
+        and makes segment runners spuriously refresh/raise on low-ward
+        drift.)"""
+        return self._centered_region_for(positions)
 
     @property
     def full_box(self):
@@ -197,27 +204,12 @@ class StreamedGridEvaluator:
         cloud straddles a lattice boundary; raises if it cannot fit any
         region (mirrors the reference's per-tile coverage contract,
         gridForceTiled.cu's per-atom tile lookup)."""
-        spacing = np.asarray(self.stream.spacing)
-        origin = np.asarray(self.stream.origin)
+        cb = self._cell_bounds(pos)
+        if cb is None:
+            return np.zeros(3, dtype=int)
+        cell_lo, cell_hi = cb
         counts = np.asarray(self.stream.counts)
         shape = np.asarray(self.region_shape)
-        lo_h, hi_h = _HALO[self.interp_method]
-
-        pos = np.asarray(pos)
-        corner = origin + (counts - 1) * spacing
-        inside = np.all((pos >= origin) & (pos <= corner), axis=1)
-        if not np.any(inside):
-            return np.zeros(3, dtype=int)
-        t = (pos[inside] - origin) / spacing
-        cell_lo = np.clip(np.floor(t.min(axis=0)).astype(int) - lo_h,
-                          0, counts - 1)
-        cell_hi = np.clip(np.floor(t.max(axis=0)).astype(int) + 1 + hi_h,
-                          0, counts - 1)
-        need = cell_hi - cell_lo + 1
-        if np.any(need > shape):
-            raise ValueError(
-                f"one replica's cloud needs region {tuple(need)} > "
-                f"configured {self.region_shape}; enlarge region_shape")
         max_start = np.maximum(counts - shape, 0)
         stride = np.maximum(shape // 2, 1)
         aligned = np.clip((cell_lo // stride) * stride, 0, max_start)
@@ -230,27 +222,12 @@ class StreamedGridEvaluator:
         symmetric margin (not cache alignment) sets how long a segment
         can run before the cloud reaches the interior boundary. Raises
         if the cloud cannot fit a region."""
-        spacing = np.asarray(self.stream.spacing)
-        origin = np.asarray(self.stream.origin)
+        cb = self._cell_bounds(pos)
+        if cb is None:
+            return np.zeros(3, dtype=int)
+        cell_lo, cell_hi = cb
         counts = np.asarray(self.stream.counts)
         shape = np.asarray(self.region_shape)
-        lo_h, hi_h = _HALO[self.interp_method]
-
-        pos = np.asarray(pos)
-        corner = origin + (counts - 1) * spacing
-        inside = np.all((pos >= origin) & (pos <= corner), axis=1)
-        if not np.any(inside):
-            return np.zeros(3, dtype=int)
-        t = (pos[inside] - origin) / spacing
-        cell_lo = np.clip(np.floor(t.min(axis=0)).astype(int) - lo_h,
-                          0, counts - 1)
-        cell_hi = np.clip(np.floor(t.max(axis=0)).astype(int) + 1 + hi_h,
-                          0, counts - 1)
-        if np.any(cell_hi - cell_lo + 1 > shape):
-            raise ValueError(
-                f"one replica's cloud needs region "
-                f"{tuple(cell_hi - cell_lo + 1)} > configured "
-                f"{self.region_shape}; enlarge region_shape")
         mid = (cell_lo + cell_hi + 1) // 2
         return np.clip(mid - shape // 2, 0,
                        np.maximum(counts - shape, 0))

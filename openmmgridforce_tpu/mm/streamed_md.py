@@ -26,22 +26,35 @@ import numpy as np
 
 from ..io.streaming import StreamedGridEvaluator
 from ..ops.packed import combine_packed_grids, evaluate_multi, pack_grid
-from .integrators import MDState, make_langevin_step, run_segment
+from .integrators import MDState, make_langevin_step
 from .system import System, energy_and_forces
 
 
 def _cloud_bounds(positions, full_lo, full_hi):
-    """Per-replica bbox of the IN-GRID atoms, on device: keeps the
-    host's per-segment download at [R, 7] floats instead of the whole
-    [R, N, 3] position tensor (the tunnel's ~2.5 MB/s makes full
-    position syncs the dominant cost otherwise). Returns
-    (lo [R,3], hi [R,3], any_in [R])."""
+    """Bbox of the IN-GRID atoms (works per replica [N,3] or batched
+    [R,N,3]): keeps the host's per-segment download at O(R) floats
+    instead of the whole position tensor (the tunnel's ~2.5 MB/s makes
+    full position syncs the dominant cost otherwise). An all-outside
+    cloud yields +/-inf bounds — derive any_in from finiteness."""
     inside = jnp.all((positions >= full_lo) & (positions <= full_hi),
-                     axis=-1, keepdims=True)                 # [R, N, 1]
+                     axis=-1, keepdims=True)                 # [..., N, 1]
     big = jnp.asarray(jnp.inf, positions.dtype)
     lo = jnp.min(jnp.where(inside, positions, big), axis=-2)
     hi = jnp.max(jnp.where(inside, positions, -big), axis=-2)
-    return lo, hi, jnp.any(inside[..., 0], axis=-1)
+    return lo, hi
+
+
+_CLOUD_BOUNDS_JIT = jax.jit(_cloud_bounds)
+
+
+def _unpack_bounds(b12):
+    """Host-side split of the packed [R, 12] per-segment download into
+    ((fin_lo, fin_hi, fin_in), (run_lo, run_hi, run_in))."""
+    b = np.asarray(b12)
+    fin_lo, fin_hi = b[:, 0:3], b[:, 3:6]
+    run_lo, run_hi = b[:, 6:9], b[:, 9:12]
+    return ((fin_lo, fin_hi, np.isfinite(fin_lo).all(axis=1)),
+            (run_lo, run_hi, np.isfinite(run_lo).all(axis=1)))
 
 
 class _RegionCrossing(RuntimeError):
@@ -62,13 +75,23 @@ class StreamedBatchMD:
                  scheme: str = "classic", refresh_steps: int = 50):
         if not evaluators:
             raise ValueError("need at least one evaluator")
-        c0 = evaluators[0].stream.counts
+        ev0 = evaluators[0]
         for ev in evaluators[1:]:
-            if (tuple(ev.stream.counts) != tuple(c0)
-                    or tuple(ev.region_shape)
-                    != tuple(evaluators[0].region_shape)):
-                raise ValueError("evaluators must be co-located with "
-                                 "identical region shapes")
+            if (tuple(ev.stream.counts) != tuple(ev0.stream.counts)
+                    or not np.allclose(ev.stream.spacing,
+                                       ev0.stream.spacing)
+                    or not np.allclose(ev.stream.origin,
+                                       ev0.stream.origin)
+                    or tuple(ev.region_shape) != tuple(ev0.region_shape)):
+                raise ValueError(
+                    "evaluators must be co-located (same counts, "
+                    "spacing, origin) with identical region shapes")
+        if len(scalings) != len(evaluators):
+            raise ValueError(
+                f"{len(scalings)} scalings for {len(evaluators)} "
+                "evaluators")
+        if int(refresh_steps) < 1:
+            raise ValueError("refresh_steps must be >= 1")
         self.evaluators = list(evaluators)
         self.scalings = [np.asarray(s) for s in scalings]
         self.system = system
@@ -84,7 +107,7 @@ class StreamedBatchMD:
         # ~100x slower per step). Packed rows are memory-hungry (64-216
         # coeffs/cell/grid), so keep only a couple resident.
         self._packed = {}
-        self.packed_regions = 2
+        self.packed_regions = 4
 
     def _runner(self, n_steps: int):
         """Jitted group-segment runner; the fused PACKED region is an
@@ -116,9 +139,26 @@ class StreamedBatchMD:
                 step = make_langevin_step(
                     force_fn, system.masses, dt, friction, t,
                     scheme=scheme, constraints=system.constraints)
-                return run_segment(step, state, n_steps)
-            out = jax.vmap(one)(states, temps)
-            return out, _cloud_bounds(out.positions, lo, hi)
+
+                # carry a RUNNING in-grid bbox so mid-segment region
+                # excursions are detected even when the region restraint
+                # (or an exit from the full grid) pulls the atom back
+                # before the segment ends
+                def body(carry, _):
+                    st, rlo, rhi = carry
+                    st2 = step(st)
+                    l2, h2 = _cloud_bounds(st2.positions, lo, hi)
+                    return (st2, jnp.minimum(rlo, l2),
+                            jnp.maximum(rhi, h2)), None
+                l0, h0 = _cloud_bounds(state.positions, lo, hi)
+                (st, rlo, rhi), _ = jax.lax.scan(
+                    body, (state, l0, h0), None, length=n_steps,
+                    unroll=4)
+                return st, rlo, rhi
+            out, run_lo, run_hi = jax.vmap(one)(states, temps)
+            fin_lo, fin_hi = _cloud_bounds(out.positions, lo, hi)
+            return out, jnp.concatenate(
+                [fin_lo, fin_hi, run_lo, run_hi], axis=1)   # [R, 12]
 
         run = jax.jit(seg)
         self._runners[n_steps] = run
@@ -164,10 +204,11 @@ class StreamedBatchMD:
         dtype = states.positions.dtype
         temps = np.broadcast_to(np.asarray(temperatures), (n_rep,))
         full_lo, full_hi = self.evaluators[0].full_box
-        b0 = jax.jit(_cloud_bounds)(states.positions,
+        l0, h0 = _CLOUD_BOUNDS_JIT(states.positions,
                                     jnp.asarray(full_lo, dtype),
                                     jnp.asarray(full_hi, dtype))
-        bounds = tuple(np.asarray(x) for x in b0)
+        l0, h0 = np.asarray(l0), np.asarray(h0)
+        bounds = (l0, h0, np.isfinite(l0).all(axis=1))
         scal_stack = jnp.asarray(np.stack(self.scalings), dtype)
         done = 0
         while done < n_steps:
@@ -199,11 +240,14 @@ class StreamedBatchMD:
         runner = self._runner(k)
         starts = self._assign_regions(bounds)
         uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
+        # never thrash the packed-region LRU: it must hold at least one
+        # entry per concurrent group
+        self.packed_regions = max(self.packed_regions, uniq.shape[0])
         if uniq.shape[0] == 1:
             fused, interior = self._packed_region(uniq[0])
             states, b = runner(states, self.system, fused, scal_stack,
                                jnp.asarray(temps, dtype))
-            bounds = tuple(np.asarray(x) for x in b)
+            fin, run_b = _unpack_bounds(b)      # ONE [R,12] download
             interiors, perm = [interior], [np.arange(n_rep)]
         else:
             perm, outs, bparts, interiors = [], [], [], []
@@ -219,17 +263,17 @@ class StreamedBatchMD:
                 perm.append(idx)
                 outs.append(jax.tree.map(lambda x: x[:len(idx)],
                                          out))
-                bparts.append(tuple(np.asarray(x)[:len(idx)]
-                                    for x in b))
+                bparts.append(np.asarray(b)[:len(idx)])
                 interiors.append(interior)
             order = np.argsort(np.concatenate(perm))
             states = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
-            bounds = tuple(
-                np.concatenate([bp[j] for bp in bparts])[order]
-                for j in range(3))
-        self._check_bounds(bounds, interiors, perm, k)
-        return states, bounds
+            fin, run_b = _unpack_bounds(
+                np.concatenate(bparts, axis=0)[order])
+        # the check sees the RUNNING bbox (every mid-segment excursion);
+        # the next assignment sees the final bbox
+        self._check_bounds(run_b, interiors, perm, k)
+        return states, fin
 
     def _assign_regions(self, bounds):
         """Per-replica region starts from in-grid cloud bboxes, with
@@ -245,7 +289,10 @@ class StreamedBatchMD:
         counts = np.asarray(ev0.stream.counts)
         shape = np.asarray(ev0.region_shape)
         from ..io.streaming import _HALO
-        lo_h, hi_h = _HALO[ev0.interp_method]
+        # widest stencil halo across evaluators (mixed-method sets must
+        # size regions for the method that needs the most support)
+        lo_h = max(_HALO[ev.interp_method][0] for ev in self.evaluators)
+        hi_h = max(_HALO[ev.interp_method][1] for ev in self.evaluators)
         n_rep = len(any_in)
         if self._starts is not None and len(self._starts) != n_rep:
             self._starts = None
@@ -287,10 +334,11 @@ class StreamedBatchMD:
         return starts
 
     def _check_bounds(self, bounds, interiors, perm, k):
-        """Every replica's in-grid cloud bbox must end the segment
-        inside its region interior (all-outside replicas are exempt:
-        only the restraint branch ran for them); anything else means
-        the cloud outran the region mid-segment — raised as
+        """Every replica's RUNNING in-grid cloud bbox (the min/max over
+        every step of the segment, so excursions that self-reverse are
+        still seen) must stay inside its region interior; replicas whose
+        atoms were outside the full grid the whole segment are exempt
+        (only the restraint branch ran for them). Violations raise
         _RegionCrossing so run() can re-run the segment in smaller
         chunks before giving up."""
         blo, bhi, any_in = bounds
