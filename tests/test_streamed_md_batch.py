@@ -118,3 +118,21 @@ def test_streamed_batch_bounds_violation(tmp_path):
                          refresh_steps=20)
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         md.run(states, 0.0, 20)
+
+
+def test_streamed_batch_detects_self_reversing_excursion(tmp_path):
+    """An atom that leaves its region mid-segment and is pushed back by
+    the restraint before the segment ends must STILL be detected (the
+    containment check sees the RUNNING bbox, not just the endpoint)."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    # replica 0: fire one atom outward fast enough to exit the region,
+    # with low friction so the oscillation brings it back in-segment
+    v = np.zeros_like(np.asarray(states.positions))
+    v[0, 0] = [6.0, 0.0, 0.0]     # nm/ps
+    states = MDState(positions=states.positions,
+                     velocities=jnp.asarray(v, jnp.float64),
+                     key=states.key)
+    md = StreamedBatchMD(evs, scals, system, dt=0.001, friction=0.2,
+                         refresh_steps=400)
+    with pytest.raises(RuntimeError, match="crossed their streamed"):
+        md.run(states, 0.0, 400)
