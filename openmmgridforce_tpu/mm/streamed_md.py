@@ -60,6 +60,10 @@ def _unpack_bounds(b12):
 class _RegionCrossing(RuntimeError):
     """A replica's cloud left its region's interior within a segment."""
 
+    def __init__(self, message, bad):
+        super().__init__(message)
+        self.bad = np.asarray(bad, dtype=int)
+
 
 class StreamedBatchMD:
     """Langevin MD for a batch of replica clouds over file-backed grids.
@@ -101,6 +105,7 @@ class StreamedBatchMD:
         self.refresh_steps = int(refresh_steps)
         self._runners = {}
         self._starts = None     # [R, 3] per-replica region hysteresis
+        self._recenter = None   # [R] bool: force re-center on next assign
         # fused PACKED regions: per-cell polynomial coefficients of all
         # co-located grids (one lane-padded row gather per atom — the
         # same fast path as in-memory MD; the direct stencil kernel is
@@ -221,9 +226,19 @@ class StreamedBatchMD:
     def _run_chunk(self, states, bounds, temps, scal_stack, k, depth):
         try:
             return self._segment(states, bounds, temps, scal_stack, k)
-        except _RegionCrossing:
+        except _RegionCrossing as rc:
             if depth >= 2 or k < 4:
                 raise
+            # drop the violators' hysteresis entries so the retry
+            # actually RE-CENTERS their regions on the current clouds
+            # (the segment-start bbox is usually still inside the old
+            # interior, so hysteresis alone would keep the old region
+            # and the retry would rely on shorter chunks only)
+            if self._starts is not None:
+                lo, hi, any_in = bounds
+                recenter = np.zeros(len(any_in), dtype=bool)
+                recenter[rc.bad] = True
+                self._recenter = recenter
             sub = max(k // 4, 1)
             left = k
             while left > 0:
@@ -329,7 +344,10 @@ class StreamedBatchMD:
                 ihi = hi_e if ihi is None else np.minimum(ihi, hi_e)
             keep = (~any_in) | (np.all(blo >= ilo, axis=1)
                                 & np.all(bhi <= ihi, axis=1))
+            if self._recenter is not None and len(self._recenter) == n_rep:
+                keep &= ~(self._recenter & any_in)
             starts = np.where(keep[:, None], self._starts, centered)
+        self._recenter = None
         self._starts = starts
         return starts
 
@@ -351,4 +369,4 @@ class StreamedBatchMD:
                 raise _RegionCrossing(
                     f"replicas {bad.tolist()} crossed their streamed "
                     f"region boundary during a {k}-step segment; lower "
-                    "refresh_steps or enlarge region_shape")
+                    "refresh_steps or enlarge region_shape", bad)

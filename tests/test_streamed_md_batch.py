@@ -136,3 +136,40 @@ def test_streamed_batch_detects_self_reversing_excursion(tmp_path):
                          refresh_steps=400)
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         md.run(states, 0.0, 400)
+
+
+def test_region_crossing_retry_recenters(tmp_path):
+    """After a _RegionCrossing the violating replica's region must be
+    RE-CENTERED on its current cloud during the retry, even though the
+    segment-start bbox is still inside the old interior (where hysteresis
+    alone would keep the old region and rely only on shorter chunks)."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    md = StreamedBatchMD(evs, scals, system, dt=0.0005, friction=2.0,
+                         refresh_steps=10)
+    md.run(states, 0.0, 10)              # populate region hysteresis
+    old = md._starts.copy()
+
+    # fabricate a cloud bbox nudged 3 cells (+0.3 nm) in x but still
+    # inside the old region's interior -> hysteresis keeps the region
+    from openmmgridforce_tpu.mm.streamed_md import _cloud_bounds
+    full_lo, full_hi = evs[0].full_box
+    lo, hi = _cloud_bounds(jnp.asarray(states.positions),
+                           jnp.asarray(full_lo), jnp.asarray(full_hi))
+    blo, bhi = np.asarray(lo).copy(), np.asarray(hi).copy()
+    any_in = np.isfinite(blo).all(axis=1)
+    blo[0, 0] += 0.3
+    bhi[0, 0] += 0.3
+    bounds = (blo, bhi, any_in)
+
+    s1 = md._assign_regions(bounds)
+    assert np.array_equal(s1, old), "hysteresis should keep all regions"
+
+    # now mark replica 0 as a crossing violator (what _run_chunk does)
+    md._recenter = np.zeros(len(any_in), dtype=bool)
+    md._recenter[0] = True
+    s2 = md._assign_regions(bounds)
+    assert not np.array_equal(s2[0], old[0]), \
+        "violator's region must re-center on its current cloud"
+    assert np.array_equal(s2[1:], old[1:]), \
+        "non-violators keep their regions"
+    assert md._recenter is None, "recenter request is one-shot"
