@@ -217,12 +217,6 @@ class _GridBindingInfo:
         self.atom_indices = jnp.asarray(atom_indices, dtype=jnp.int32)
         self.scaling = jnp.asarray(scaling, dtype=jnp.float64)
         self.group_sizes = group_sizes  # list[int], empty if no groups
-        # streamed-stepping bookkeeping (world coords, numpy):
-        self.full_box = streamer.full_box if streamer is not None else None
-        self.interior = None            # (lo, hi) of the current region
-        # packed-region cache for MD stepping (keyed by region identity)
-        self._packed_region = None
-        self._packed_key = None
 
 
 class Platform:
@@ -262,8 +256,13 @@ class Context:
         # streamed grids: host-side region refresh cadence during stepping
         # (the reference re-prepares tiles EVERY step,
         # CudaGridForceKernels.cpp:888-975; here the region carries enough
-        # margin that one refresh serves a whole jitted segment)
-        self.stream_refresh_steps = 100
+        # margin that one refresh serves a whole jitted segment). Same
+        # default cadence as mm.StreamedBatchMD — stepping DELEGATES to
+        # that engine (a Context is a batch of one replica), so both
+        # paths share its running-bbox exactness guarantee.
+        self.stream_refresh_steps = 50
+        self._stream_engine = None
+        self._min_segs: Dict[tuple, object] = {}
         self._initialize_forces()
 
     # --- force resolution (the reference's kernel initialize() path) ----
@@ -334,6 +333,8 @@ class Context:
             streamer = StreamedGridEvaluator(
                 force.getTiledInputFile(),
                 interp_method=force.getInterpolationMethod(),
+                region_shape=(force.getStreamRegionShape()
+                              or (64, 64, 64)),
                 budget_bytes=force.getMemoryBudgetMB() * 1024 * 1024,
                 oob_k=force.getOutOfBoundsRestraint())
             grid = None
@@ -432,19 +433,24 @@ class Context:
         self._invalidate_stepper()
 
     # --- evaluation ------------------------------------------------------
-    def _per_force_terms(self, positions, grid_args=None):
+    def _per_force_terms(self, positions, grid_args=None, exclude=()):
         """Returns dict force_index -> (energy, forces [N,3]).
 
         ``grid_args``: optional dict force_index -> Grid overriding the
         resolved grid data. This is how jitted paths (stepping,
         minimization) receive grids as ARGUMENTS instead of baking them
         into the program as HLO constants (the remote TPU compiler
-        rejects >~100 MB programs — see mm.make_md_runner); for streamed
-        grids it carries the current region-resident Grid.
+        rejects >~100 MB programs — see mm.make_md_runner).
+
+        ``exclude``: force indices to skip entirely — the streamed-MD
+        engine evaluates streamed GridForces itself, and its jitted
+        paths must never reach the host-side streamer branch below.
         """
         core = self.system._core
         out = {}
         for idx, force in enumerate(self.system.getForces()):
+            if idx in exclude:
+                continue
             if isinstance(force, HarmonicBondForce):
                 e, g = jax.value_and_grad(
                     lambda x: bond_energy(x, core.bond_idx, core.bond_k,
@@ -468,13 +474,7 @@ class Context:
             elif isinstance(force, GridForce):
                 info = self._grid_infos[idx]
                 override = None if grid_args is None else grid_args.get(idx)
-                if info.streamer is not None and override is not None:
-                    from ..io.streaming import evaluate_streamed
-                    lo, hi = info.full_box
-                    res = evaluate_streamed(
-                        override, lo, hi, positions[info.atom_indices],
-                        info.scaling, info.streamer.oob_k)
-                elif info.streamer is not None:
+                if info.streamer is not None:
                     res = info.streamer.evaluate(
                         np.asarray(positions)[np.asarray(info.atom_indices)],
                         np.asarray(info.scaling))
@@ -512,11 +512,13 @@ class Context:
         return out
 
     def _group_mask_terms(self, positions, groups: Optional[set],
-                          grid_args=None):
-        terms = self._per_force_terms(positions, grid_args)
+                          grid_args=None, exclude=()):
+        terms = self._per_force_terms(positions, grid_args, exclude)
         energy = jnp.zeros((), dtype=positions.dtype)
         forces = jnp.zeros_like(positions)
         for idx, force in enumerate(self.system.getForces()):
+            if idx not in terms:
+                continue
             if groups is not None and force.getForceGroup() not in groups:
                 continue
             e, f = terms[idx]
@@ -574,63 +576,89 @@ class Context:
     # --- stepping ----------------------------------------------------------
     def _invalidate_stepper(self):
         self._steppers = {}
+        self._stream_engine = None
+        self._min_segs = {}
+
+    def _memory_grid_indices(self):
+        return [i for i in sorted(self._grid_infos)
+                if self._grid_infos[i].streamer is None]
+
+    def _streamed_force_indices(self):
+        return frozenset(i for i in self._grid_infos
+                         if self._grid_infos[i].streamer is not None)
 
     def _grid_arguments(self):
-        """Grid pytrees to pass through jit as ARGUMENTS (never baked as
-        HLO constants — the remote TPU compiler rejects >~100 MB
-        programs). For streamed forces this reads a fresh region covering
-        the current atom cloud."""
-        gidx = sorted(self._grid_infos)
-        grids = []
-        for i in gidx:
-            info = self._grid_infos[i]
-            if info.streamer is not None:
-                pos = np.asarray(self._positions)[
-                    np.asarray(info.atom_indices)]
-                g, info.interior = info.streamer.region_grid(pos)
-                # pack the region into the single-row-gather fast path
-                # (~100x faster per MD step than the direct stencil
-                # kernel); cached until the streamer refreshes the
-                # region. Bounded to keep out-of-core memory bounded:
-                # packs above ~512 MB fall back to the direct kernel.
-                if info._packed_key != id(g):
-                    from ..ops.packed import pack_grid
-                    ncells = int(np.prod(np.asarray(g.counts) - 1))
-                    kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[
-                        int(g.interp_method)]
-                    if ncells * kcoef * 4 <= 512 << 20:
-                        info._packed_region = pack_grid(g)
-                    else:
-                        info._packed_region = g
-                    info._packed_key = id(g)
-                grids.append(info._packed_region)
-            else:
-                grids.append(info.grid)
-        return gidx, tuple(grids)
+        """In-memory Grid pytrees to pass through jit as ARGUMENTS
+        (never baked as HLO constants — the remote TPU compiler rejects
+        >~100 MB programs). Streamed forces are NOT returned here: the
+        streamed-MD engine owns their region payloads."""
+        gidx = self._memory_grid_indices()
+        return gidx, tuple(self._grid_infos[i].grid for i in gidx)
 
-    def _check_stream_bounds(self):
-        """After a streamed segment: every streamed atom must sit either
-        inside its region's exact interior or outside the full grid (the
-        restraint branch). Anything else means the cloud outran the
-        region mid-segment and the segment's forces were not exact."""
-        for info in self._grid_infos.values():
-            if info.streamer is None or info.interior is None:
+    def _ensure_stream_engine(self):
+        """The ONE streamed-MD engine (mm.StreamedBatchMD) this Context
+        delegates streamed stepping and minimization to — a Context is a
+        batch of one replica. Streamed GridForces over the same box with
+        the same atoms fuse into one StreamSet; the reference applies
+        each GridForce's out-of-bounds restraint independently
+        (ReferenceGridForceKernels.cpp:1093-1117), so a fused set
+        carries the SUM of its forces' restraint k."""
+        if self._stream_engine is not None:
+            return self._stream_engine
+        from ..mm.streamed_md import StreamedBatchMD, StreamSet
+
+        groups = {}
+        for idx in sorted(self._grid_infos):
+            info = self._grid_infos[idx]
+            if info.streamer is None:
                 continue
-            pos = np.asarray(self._positions)[np.asarray(info.atom_indices)]
-            lo, hi = info.interior
-            flo, fhi = info.full_box
-            ok = (np.all((pos >= lo) & (pos <= hi), axis=1)
-                  | np.any((pos < flo) | (pos > fhi), axis=1))
-            if not np.all(ok):
-                raise RuntimeError(
-                    "atoms crossed the streamed region boundary during a "
-                    f"{self.stream_refresh_steps}-step segment; lower "
-                    "context.stream_refresh_steps or enlarge the tile "
-                    "region (GridForce.setMemoryBudgetMB)")
+            ev = info.streamer
+            key = (tuple(int(c) for c in ev.stream.counts),
+                   tuple(np.round(np.asarray(ev.stream.spacing), 12)),
+                   tuple(np.round(np.asarray(ev.stream.origin), 12)),
+                   tuple(ev.region_shape),
+                   tuple(np.asarray(info.atom_indices).tolist()))
+            groups.setdefault(key, []).append(info)
+        sets = [
+            StreamSet([i.streamer for i in infos],
+                      [np.asarray(i.scaling) for i in infos],
+                      atom_indices=np.asarray(infos[0].atom_indices),
+                      oob_k=sum(float(i.streamer.oob_k) for i in infos))
+            for infos in groups.values()
+        ]
+
+        core = self.system._core
+        integ = self.integrator
+        if isinstance(integ, LangevinIntegrator):
+            def step_factory(force_fn, t, base_args):
+                return make_langevin_step(force_fn, core.masses, integ.dt,
+                                          integ.friction, t,
+                                          scheme=integ.scheme,
+                                          constraints=core.constraints)
+        elif isinstance(integ, VerletIntegrator):
+            def step_factory(force_fn, t, base_args):
+                return make_verlet_step(force_fn, core.masses, integ.dt,
+                                        constraints=core.constraints)
+        else:
+            raise TypeError(f"unknown integrator {type(integ)}")
+
+        gidx_mem = self._memory_grid_indices()
+        excl = self._streamed_force_indices()
+
+        def base_force(base_args, x):
+            grid_args = dict(zip(gidx_mem, base_args))
+            return self._group_mask_terms(x, None, grid_args,
+                                          exclude=excl)[1]
+
+        self._stream_engine = StreamedBatchMD(
+            sets=sets,
+            refresh_steps=max(1, int(self.stream_refresh_steps)),
+            step_factory=step_factory, base_force=base_force)
+        return self._stream_engine
 
     def _build_stepper(self, n_steps):
         core = self.system._core
-        gidx = sorted(self._grid_infos)
+        gidx = self._memory_grid_indices()
         integ = self.integrator
 
         def run(st, grids):
@@ -661,12 +689,24 @@ class Context:
         if self._velocities is None:
             self._velocities = jnp.zeros_like(self._positions)
         n = int(n)
-        streamed = any(i.streamer is not None
-                       for i in self._grid_infos.values())
-        chunk = min(n, self.stream_refresh_steps) if streamed else n
+        if self._streamed_force_indices():
+            # delegate to the batch streamed-MD engine (R=1): running
+            # in-scan bbox exactness, chunked re-run recovery with
+            # re-centered regions, hysteresis, shared packed-region LRU
+            eng = self._ensure_stream_engine()
+            eng.refresh_steps = max(1, int(self.stream_refresh_steps))
+            _, grids = self._grid_arguments()
+            temp = getattr(self.integrator, "temperature", 0.0)
+            states = MDState(self._positions[None],
+                             self._velocities[None], self._key[None])
+            out = eng.run(states, np.asarray([temp]), n, base_args=grids)
+            self._positions = out.positions[0]
+            self._velocities = out.velocities[0]
+            self._key = out.key[0]
+            return
         done = 0
         while done < n:
-            k = min(chunk, n - done)
+            k = n - done
             stepper = self._steppers.get(k) or self._build_stepper(k)
             _, grids = self._grid_arguments()
             self._key, sub = jax.random.split(self._key)
@@ -675,9 +715,146 @@ class Context:
             self._positions = st.positions
             self._velocities = st.velocities
             done += k
-            if streamed:
-                jax.block_until_ready(self._positions)
-                self._check_stream_bounds()
+
+    def _minimize_streamed(self, maxIterations, tolerance, chunk=25):
+        """L-BFGS minimization over streamed (tiled-file) grids with the
+        SAME exactness guarantee as streamed stepping: the loop runs in
+        jitted segments that carry a RUNNING in-grid cloud bbox per
+        stream set (the min/max over every iterate, so excursions that
+        self-reverse are still seen); a segment whose bbox leaves a
+        region interior is DISCARDED and re-run with the violators'
+        regions re-centered on the current cloud. Mirrors the
+        reference's tiled semantics where every evaluation sees exact
+        tiles (CudaGridForceKernels.cpp:888-975). Region state
+        (hysteresis, packed LRU) is shared with the stepping engine."""
+        import optax
+
+        from ..mm.streamed_md import _CLOUD_BOUNDS_JIT, _cloud_bounds
+        from ..ops.packed import evaluate_multi
+
+        eng = self._ensure_stream_engine()
+        sets = eng.sets
+        gidx_mem, grids = self._grid_arguments()
+        excl = self._streamed_force_indices()
+        scal_args = tuple(jnp.asarray(s.scal_stack) for s in sets)
+        metas = [(np.asarray(s.full_box[0]), np.asarray(s.full_box[1]),
+                  float(s.oob_k),
+                  None if s.atom_idx is None else jnp.asarray(s.atom_idx))
+                 for s in sets]
+        opt = optax.lbfgs()
+
+        seg_key = (int(maxIterations), float(tolerance), int(chunk))
+        seg = self._min_segs.get(seg_key)
+        if seg is None:
+            def seg_fn(x0, st0, it0, grids, payloads, scals):
+                grid_args = dict(zip(gidx_mem, grids))
+                dtype = x0.dtype
+                boxes = [(jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
+                         for lo, hi, _, _ in metas]
+
+                def energy(p):
+                    e = self._group_mask_terms(p, None, grid_args,
+                                               exclude=excl)[0]
+                    for meta, (blo, bhi), pay, sc in zip(
+                            metas, boxes, payloads, scals):
+                        xi = p if meta[3] is None else p[meta[3]]
+                        if isinstance(pay, tuple):   # direct fallback
+                            pa = sum(evaluate_grid(g, xi,
+                                                   sc[gi]).per_atom_energy
+                                     for gi, g in enumerate(pay))
+                        else:
+                            pa = evaluate_multi(pay, xi,
+                                                sc).per_atom_energy
+                        inside = jnp.all((xi >= blo) & (xi <= bhi),
+                                         axis=1)
+                        dev = jnp.where(
+                            xi < blo, xi - blo,
+                            jnp.where(xi > bhi, xi - bhi, 0.0))
+                        e_oob = 0.5 * meta[2] * jnp.sum(dev * dev,
+                                                        axis=1)
+                        e = e + jnp.sum(jnp.where(inside, pa, e_oob))
+                    return e
+
+                def bbox(p):
+                    out = []
+                    for meta, (blo, bhi) in zip(metas, boxes):
+                        xi = p if meta[3] is None else p[meta[3]]
+                        out.append(_cloud_bounds(xi, blo, bhi))
+                    return tuple(out)
+
+                vg = jax.value_and_grad(energy)
+                e0, g0 = vg(x0)
+
+                def cond(carry):
+                    _, _, _, g, it, k, _ = carry
+                    return ((k < chunk) & (it < maxIterations)
+                            & (jnp.sqrt(jnp.mean(g * g)) >= tolerance))
+
+                def body(carry):
+                    x, st, e, g, it, k, bbs = carry
+                    updates, st = opt.update(g, st, x, value=e, grad=g,
+                                             value_fn=energy)
+                    x = optax.apply_updates(x, updates)
+                    e, g = vg(x)
+                    bbs = tuple(
+                        (jnp.minimum(rl, l2), jnp.maximum(rh, h2))
+                        for (rl, rh), (l2, h2) in zip(bbs, bbox(x)))
+                    return (x, st, e, g, it + 1, k + 1, bbs)
+
+                x, st, e, g, it, _, bbs = jax.lax.while_loop(
+                    cond, body, (x0, st0, e0, g0, it0, 0, bbox(x0)))
+                b = jnp.stack([jnp.concatenate([rl, rh])
+                               for rl, rh in bbs])          # [S, 6]
+                return x, st, e, g, it, b
+
+            seg = jax.jit(seg_fn)
+            self._min_segs[seg_key] = seg
+
+        x = self._positions
+        st = opt.init(x)
+        it = 0
+        retries = 0
+        while it < int(maxIterations):
+            # region assignment for the CURRENT cloud (R=1), through the
+            # shared per-set hysteresis/re-centering machinery
+            payloads, interiors = [], []
+            for s in sets:
+                full_lo, full_hi = s.full_box
+                l0, h0 = _CLOUD_BOUNDS_JIT(
+                    s.take(x)[None], jnp.asarray(full_lo, x.dtype),
+                    jnp.asarray(full_hi, x.dtype))
+                l0, h0 = np.asarray(l0), np.asarray(h0)
+                starts = s.assign((l0, h0,
+                                   np.isfinite(l0).all(axis=1)))
+                pay, interior = s.payload(starts[0])
+                payloads.append(pay)
+                interiors.append(interior)
+            x2, st2, e2, g2, it2, b = seg(x, st, it, grids,
+                                          tuple(payloads), scal_args)
+            b = np.asarray(b)
+            bad_sets = []
+            for si, s in enumerate(sets):
+                rlo, rhi = b[si, 0:3], b[si, 3:6]
+                if not np.isfinite(rlo).all():
+                    continue               # all-outside: restraint only
+                ilo, ihi = interiors[si]
+                if not (np.all(rlo >= ilo) and np.all(rhi <= ihi)):
+                    bad_sets.append(si)
+            if bad_sets:
+                retries += 1
+                if retries > 4:
+                    raise RuntimeError(
+                        "minimization cloud crossed its streamed region "
+                        "boundary repeatedly; enlarge region_shape "
+                        "(GridForce.setMemoryBudgetMB)")
+                for si in bad_sets:
+                    sets[si]._recenter = np.array([True])
+                continue                   # discard segment, re-run
+            retries = 0
+            x, st, it = x2, st2, int(it2)
+            if float(jnp.sqrt(jnp.mean(g2 * g2))) < float(tolerance):
+                break
+        self._positions = x
 
     # --- group / atom energy queries (GridForce companions) ----------------
     def _grid_eval(self, info):
@@ -729,10 +906,15 @@ class Simulation:
         The whole loop (rms gate included) runs inside one jitted
         lax.while_loop — ONE host round-trip total, instead of one per
         iteration (~31 ms each through the tunnel). Grids are threaded
-        through as jit arguments, never baked as HLO constants."""
+        through as jit arguments, never baked as HLO constants. With
+        streamed (tiled-file) grids the loop runs in validated segments
+        instead — see Context._minimize_streamed."""
         import optax
 
         ctx = self.context
+        if ctx._streamed_force_indices():
+            ctx._minimize_streamed(maxIterations, tolerance)
+            return
         gidx, grids = ctx._grid_arguments()
 
         @jax.jit
@@ -764,9 +946,6 @@ class Simulation:
             return x
 
         ctx._positions = minimize(ctx._positions, grids)
-        if any(i.streamer is not None for i in ctx._grid_infos.values()):
-            jax.block_until_ready(ctx._positions)
-            ctx._check_stream_bounds()
 
     def _ctx_positions(self):
         return self.context._positions

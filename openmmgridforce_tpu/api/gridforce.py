@@ -317,6 +317,18 @@ class GridForce(Force):
     def getMemoryBudgetMB(self):
         return self._memory_budget_mb
 
+    def setStreamRegionShape(self, nx, ny, nz):
+        """TPU-era extension (no reference equivalent): the fixed
+        region shape (grid points per axis) streamed to the device for
+        tiled-file evaluation/MD. Smaller regions bound device memory
+        (a 64^3 triquintic packed region is ~200 MB) at the price of
+        more frequent refreshes for fast-drifting clouds; the shape is
+        clamped to the grid counts per axis."""
+        self._stream_region_shape = (int(nx), int(ny), int(nz))
+
+    def getStreamRegionShape(self):
+        return getattr(self, "_stream_region_shape", None)
+
     def setTiledOutputFile(self, filename, tile_size=32):
         self._tiled_output_file = filename
         self._tiled_output_tile_size = int(tile_size)

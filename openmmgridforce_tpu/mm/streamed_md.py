@@ -12,9 +12,27 @@ jitted vmapped dispatch with the region grids passed as arguments
 clouds drift. Atoms outside the full grid take the full-box restraint
 (reference OOB semantics), and any replica whose cloud outruns its
 region mid-segment is detected at the segment boundary — the segment
-then re-runs from its saved start in smaller chunks with re-centered
-regions, raising only if the cloud outruns the margin within ~a dozen
-steps."""
+then re-runs from its saved start in smaller chunks with regions
+RE-CENTERED on the violators' current clouds, raising only if the cloud
+outruns the margin within ~a dozen steps.
+
+This module is the ONE streamed-MD engine: the compat
+``api.Context``/``Simulation`` streamed stepping and minimization paths
+delegate here (a Context is a batch of one replica), so both give the
+reference's every-step exactness guarantee. The engine generalizes over
+
+- multiple :class:`StreamSet`\\ s — co-located groups of streamed grids,
+  each acting on its own atom subset with its own out-of-bounds
+  restraint (the compat API applies each GridForce's restraint
+  independently, so a fused set there carries the SUM of its forces'
+  k, while the mm-layer default keeps one restraint per fused set);
+- a pluggable integrator ``step_factory`` (Langevin by default; the
+  compat path supplies Verlet or Langevin built from its Integrator);
+- a pluggable ``base_force`` for everything that is not a streamed grid
+  (bonded terms by default; the compat path evaluates its whole
+  non-streamed force table, with in-memory grids threaded through jit
+  as arguments).
+"""
 
 from __future__ import annotations
 
@@ -24,7 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.streaming import StreamedGridEvaluator
+from ..io.streaming import _HALO, StreamedGridEvaluator
+from ..ops.interpolate import evaluate_grid
 from ..ops.packed import combine_packed_grids, evaluate_multi, pack_grid
 from .integrators import MDState, make_langevin_step
 from .system import System, energy_and_forces
@@ -47,9 +66,9 @@ def _cloud_bounds(positions, full_lo, full_hi):
 _CLOUD_BOUNDS_JIT = jax.jit(_cloud_bounds)
 
 
-def _unpack_bounds(b12):
-    """Host-side split of the packed [R, 12] per-segment download into
-    ((fin_lo, fin_hi, fin_in), (run_lo, run_hi, run_in))."""
+def _unpack_set_bounds(b12):
+    """Host-side split of one set's packed [R, 12] per-segment download
+    into ((fin_lo, fin_hi, fin_in), (run_lo, run_hi, run_in))."""
     b = np.asarray(b12)
     fin_lo, fin_hi = b[:, 0:3], b[:, 3:6]
     run_lo, run_hi = b[:, 6:9], b[:, 9:12]
@@ -65,18 +84,25 @@ class _RegionCrossing(RuntimeError):
         self.bad = np.asarray(bad, dtype=int)
 
 
-class StreamedBatchMD:
-    """Langevin MD for a batch of replica clouds over file-backed grids.
+class StreamSet:
+    """One co-located group of streamed grids acting on one atom subset.
 
-    ``evaluators``: co-located :class:`StreamedGridEvaluator`s (one per
-    grid file, e.g. charge/ljr/lja over the same box); ``scalings``: one
-    per-atom scaling array per evaluator. Each replica's cloud must fit
-    one region at a time — the batch as a whole may scatter anywhere.
+    Owns all per-set region state: assignment with hysteresis and forced
+    re-centering, the fused packed-region LRU, interior geometry, and
+    running-bbox containment checks. The batch dimension (replicas) is
+    vectorized through every method.
+
+    ``atom_indices``: indices into the full position array this set's
+    grids act on (None = all atoms). ``oob_k``: the full-box restraint
+    stiffness (default: the first evaluator's — ONE restraint per fused
+    set; the compat API passes the sum over its forces instead, since
+    the reference applies each GridForce's restraint independently,
+    ReferenceGridForceKernels.cpp:1093-1117).
     """
 
     def __init__(self, evaluators: Sequence[StreamedGridEvaluator],
-                 scalings, system: System, dt: float, friction: float,
-                 scheme: str = "classic", refresh_steps: int = 50):
+                 scalings, atom_indices=None, oob_k=None,
+                 pack_budget_bytes: int = 512 << 20):
         if not evaluators:
             raise ValueError("need at least one evaluator")
         ev0 = evaluators[0]
@@ -94,86 +120,66 @@ class StreamedBatchMD:
             raise ValueError(
                 f"{len(scalings)} scalings for {len(evaluators)} "
                 "evaluators")
-        if int(refresh_steps) < 1:
-            raise ValueError("refresh_steps must be >= 1")
         self.evaluators = list(evaluators)
-        self.scalings = [np.asarray(s) for s in scalings]
-        self.system = system
-        self.dt = float(dt)
-        self.friction = float(friction)
-        self.scheme = scheme
-        self.refresh_steps = int(refresh_steps)
-        self._runners = {}
+        self.scal_stack = np.stack([np.asarray(s) for s in scalings])
+        self.atom_idx = (None if atom_indices is None
+                         else np.asarray(atom_indices, dtype=int))
+        self.oob_k = float(ev0.oob_k if oob_k is None else oob_k)
+        self.pack_budget = int(pack_budget_bytes)
         self._starts = None     # [R, 3] per-replica region hysteresis
         self._recenter = None   # [R] bool: force re-center on next assign
         # fused PACKED regions: per-cell polynomial coefficients of all
         # co-located grids (one lane-padded row gather per atom — the
         # same fast path as in-memory MD; the direct stencil kernel is
         # ~100x slower per step). Packed rows are memory-hungry (64-216
-        # coeffs/cell/grid), so keep only a couple resident.
+        # coeffs/cell/grid), so keep only a couple resident; regions
+        # whose fused pack would exceed ``pack_budget_bytes`` fall back
+        # to the direct stencil kernels on the raw region grids.
         self._packed = {}
         self.packed_regions = 4
 
-    def _runner(self, n_steps: int):
-        """Jitted group-segment runner; the fused PACKED region is an
-        ARGUMENT so the compiled program is shared by every region (and
-        never embeds multi-MB tables as HLO constants). Atoms outside
-        the FULL grid take the full-box restraint (applied once per
-        fused set, like the in-memory fused path)."""
-        run = self._runners.get(n_steps)
-        if run is not None:
-            return run
-        ev0 = self.evaluators[0]
-        full_lo, full_hi = ev0.full_box
-        oob_k = ev0.oob_k
-        dt, friction, scheme = self.dt, self.friction, self.scheme
+    # --- geometry -------------------------------------------------------
+    @property
+    def full_box(self):
+        return self.evaluators[0].full_box
 
-        def seg(states, system, fused, scal_stack, temps):
-            lo = jnp.asarray(full_lo, states.positions.dtype)
-            hi = jnp.asarray(full_hi, states.positions.dtype)
+    def take(self, positions):
+        """This set's atoms from full positions ([..., N, 3])."""
+        if self.atom_idx is None:
+            return positions
+        return positions[..., self.atom_idx, :]
 
-            def one(state, t):
-                def force_fn(x):
-                    f = energy_and_forces(system, [], x)[1]
-                    res = evaluate_multi(fused, x, scal_stack)
-                    inside = jnp.all((x >= lo) & (x <= hi), axis=1)
-                    dev = jnp.where(x < lo, x - lo,
-                                    jnp.where(x > hi, x - hi, 0.0))
-                    return f + jnp.where(inside[:, None], res.forces,
-                                         -oob_k * dev)
-                step = make_langevin_step(
-                    force_fn, system.masses, dt, friction, t,
-                    scheme=scheme, constraints=system.constraints)
+    def scatter_matrix(self, n_total):
+        """One-hot [n_total, n_sub] scatter for force assembly (TPU
+        scatters serialize; a small matmul does not), or None when this
+        set covers all atoms in order."""
+        if self.atom_idx is None:
+            return None
+        idx = self.atom_idx
+        if len(idx) == n_total and np.array_equal(idx,
+                                                  np.arange(n_total)):
+            return None
+        w = np.zeros((n_total, len(idx)))
+        w[idx, np.arange(len(idx))] = 1.0
+        return w
 
-                # carry a RUNNING in-grid bbox so mid-segment region
-                # excursions are detected even when the region restraint
-                # (or an exit from the full grid) pulls the atom back
-                # before the segment ends
-                def body(carry, _):
-                    st, rlo, rhi = carry
-                    st2 = step(st)
-                    l2, h2 = _cloud_bounds(st2.positions, lo, hi)
-                    return (st2, jnp.minimum(rlo, l2),
-                            jnp.maximum(rhi, h2)), None
-                l0, h0 = _cloud_bounds(state.positions, lo, hi)
-                (st, rlo, rhi), _ = jax.lax.scan(
-                    body, (state, l0, h0), None, length=n_steps,
-                    unroll=4)
-                return st, rlo, rhi
-            out, run_lo, run_hi = jax.vmap(one)(states, temps)
-            fin_lo, fin_hi = _cloud_bounds(out.positions, lo, hi)
-            return out, jnp.concatenate(
-                [fin_lo, fin_hi, run_lo, run_hi], axis=1)   # [R, 12]
+    def _interior(self, start):
+        """Tightest interior across evaluators' halos for one region."""
+        ilo = ihi = None
+        for ev in self.evaluators:
+            lo_e, hi_e = ev._interior_box(start)
+            ilo = lo_e if ilo is None else np.maximum(ilo, lo_e)
+            ihi = hi_e if ihi is None else np.minimum(ihi, hi_e)
+        return ilo, ihi
 
-        run = jax.jit(seg)
-        self._runners[n_steps] = run
-        return run
-
-    def _packed_region(self, start):
-        """Fused packed region for ``start``: read each evaluator's
-        region (through its device LRU), pack to per-cell coefficients,
-        fuse into one multi-grid row table. Hysteresis keeps regions
-        stable across segments, so the pack cost amortizes."""
+    # --- region payloads ------------------------------------------------
+    def payload(self, start):
+        """Device payload for region ``start``: read each evaluator's
+        region (through its device LRU), pack to per-cell coefficients
+        and fuse into one multi-grid row table — or, above the pack
+        budget, the tuple of raw region Grids for the direct stencil
+        kernels. Returns ``(payload, (interior_lo, interior_hi))``;
+        LRU-cached so hysteresis amortizes the pack cost."""
         key = tuple(int(s) for s in start)
         hit = self._packed.get(key)
         if hit is not None:
@@ -186,114 +192,26 @@ class StreamedBatchMD:
             grids.append(g)
             ilo = lo if ilo is None else np.maximum(ilo, lo)
             ihi = hi if ihi is None else np.minimum(ihi, hi)
-        fused = combine_packed_grids([pack_grid(g) for g in grids])
-        built = (fused, (ilo, ihi))
+        ncells = int(np.prod(np.asarray(grids[0].counts) - 1))
+        kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[int(grids[0].interp_method)]
+        width = len(grids) * kcoef
+        row = -(-width // 128) * 128      # combine pads lanes to 128
+        if ncells * row * 4 <= self.pack_budget:
+            built = (combine_packed_grids([pack_grid(g) for g in grids]),
+                     (ilo, ihi))
+        else:
+            built = (tuple(grids), (ilo, ihi))
         self._packed[key] = built
         while len(self._packed) > self.packed_regions:
             self._packed.pop(next(iter(self._packed)))
         return built
 
-    def run(self, states: MDState, temperatures, n_steps: int) -> MDState:
-        """Advance every replica ``n_steps``; returns the new batch.
-
-        Host traffic per segment is O(R) floats (in-grid cloud bboxes
-        computed on device), never the position tensor; the common
-        all-replicas-one-region case runs the segment with zero
-        gather/scatter dispatches. A replica whose cloud outruns its
-        region mid-segment (e.g. a charge-fusion-accelerated atom) is
-        detected at the segment boundary and the segment re-runs from
-        its saved start in quarter-length chunks with re-centered
-        regions — only a cloud faster than the region margin over ~a
-        dozen steps still raises."""
-        n_rep = states.positions.shape[0]
-        dtype = states.positions.dtype
-        temps = np.broadcast_to(np.asarray(temperatures), (n_rep,))
-        full_lo, full_hi = self.evaluators[0].full_box
-        l0, h0 = _CLOUD_BOUNDS_JIT(states.positions,
-                                    jnp.asarray(full_lo, dtype),
-                                    jnp.asarray(full_hi, dtype))
-        l0, h0 = np.asarray(l0), np.asarray(h0)
-        bounds = (l0, h0, np.isfinite(l0).all(axis=1))
-        scal_stack = jnp.asarray(np.stack(self.scalings), dtype)
-        done = 0
-        while done < n_steps:
-            k = min(self.refresh_steps, n_steps - done)
-            states, bounds = self._run_chunk(states, bounds, temps,
-                                             scal_stack, k, depth=0)
-            done += k
-        return states
-
-    def _run_chunk(self, states, bounds, temps, scal_stack, k, depth):
-        try:
-            return self._segment(states, bounds, temps, scal_stack, k)
-        except _RegionCrossing as rc:
-            if depth >= 2 or k < 4:
-                raise
-            # drop the violators' hysteresis entries so the retry
-            # actually RE-CENTERS their regions on the current clouds
-            # (the segment-start bbox is usually still inside the old
-            # interior, so hysteresis alone would keep the old region
-            # and the retry would rely on shorter chunks only)
-            if self._starts is not None:
-                lo, hi, any_in = bounds
-                recenter = np.zeros(len(any_in), dtype=bool)
-                recenter[rc.bad] = True
-                self._recenter = recenter
-            sub = max(k // 4, 1)
-            left = k
-            while left > 0:
-                piece = min(sub, left)
-                states, bounds = self._run_chunk(states, bounds, temps,
-                                                 scal_stack, piece,
-                                                 depth + 1)
-                left -= piece
-            return states, bounds
-
-    def _segment(self, states, bounds, temps, scal_stack, k):
-        n_rep = states.positions.shape[0]
-        dtype = states.positions.dtype
-        runner = self._runner(k)
-        starts = self._assign_regions(bounds)
-        uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
-        # never thrash the packed-region LRU: it must hold at least one
-        # entry per concurrent group
-        self.packed_regions = max(self.packed_regions, uniq.shape[0])
-        if uniq.shape[0] == 1:
-            fused, interior = self._packed_region(uniq[0])
-            states, b = runner(states, self.system, fused, scal_stack,
-                               jnp.asarray(temps, dtype))
-            fin, run_b = _unpack_bounds(b)      # ONE [R,12] download
-            interiors, perm = [interior], [np.arange(n_rep)]
-        else:
-            perm, outs, bparts, interiors = [], [], [], []
-            for u in range(uniq.shape[0]):
-                idx = np.nonzero(inverse == u)[0]
-                fused, interior = self._packed_region(uniq[u])
-                nb = 1 << (len(idx) - 1).bit_length()
-                pad = np.concatenate(
-                    [idx, np.repeat(idx[:1], nb - len(idx))])
-                sub = jax.tree.map(lambda x: x[pad], states)
-                out, b = runner(sub, self.system, fused, scal_stack,
-                                jnp.asarray(temps[pad], dtype))
-                perm.append(idx)
-                outs.append(jax.tree.map(lambda x: x[:len(idx)],
-                                         out))
-                bparts.append(np.asarray(b)[:len(idx)])
-                interiors.append(interior)
-            order = np.argsort(np.concatenate(perm))
-            states = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
-            fin, run_b = _unpack_bounds(
-                np.concatenate(bparts, axis=0)[order])
-        # the check sees the RUNNING bbox (every mid-segment excursion);
-        # the next assignment sees the final bbox
-        self._check_bounds(run_b, interiors, perm, k)
-        return states, fin
-
-    def _assign_regions(self, bounds):
+    # --- assignment -----------------------------------------------------
+    def assign(self, bounds):
         """Per-replica region starts from in-grid cloud bboxes, with
         hysteresis: keep a replica's previous region while its cloud
-        stays inside that region's interior; otherwise re-CENTER a
+        stays inside that region's interior; otherwise (or when a
+        crossing retry flagged the replica for re-centering) CENTER a
         region on the cloud (maximal symmetric margin for the coming
         segment). All-outside replicas keep whatever region they have
         (only the restraint branch runs for them)."""
@@ -303,7 +221,6 @@ class StreamedBatchMD:
         origin = np.asarray(ev0.stream.origin)
         counts = np.asarray(ev0.stream.counts)
         shape = np.asarray(ev0.region_shape)
-        from ..io.streaming import _HALO
         # widest stencil halo across evaluators (mixed-method sets must
         # size regions for the method that needs the most support)
         lo_h = max(_HALO[ev.interp_method][0] for ev in self.evaluators)
@@ -335,8 +252,6 @@ class StreamedBatchMD:
         if self._starts is None:
             starts = np.where(any_in[:, None], centered, 0)
         else:
-            # tightest interior across evaluators' halos (mirrors
-            # _packed_region / _check_bounds)
             ilo = ihi = None
             for ev in self.evaluators:
                 lo_e, hi_e = ev._interior_box(self._starts)
@@ -344,29 +259,308 @@ class StreamedBatchMD:
                 ihi = hi_e if ihi is None else np.minimum(ihi, hi_e)
             keep = (~any_in) | (np.all(blo >= ilo, axis=1)
                                 & np.all(bhi <= ihi, axis=1))
-            if self._recenter is not None and len(self._recenter) == n_rep:
+            if (self._recenter is not None
+                    and len(self._recenter) == n_rep):
                 keep &= ~(self._recenter & any_in)
             starts = np.where(keep[:, None], self._starts, centered)
         self._recenter = None
         self._starts = starts
         return starts
 
-    def _check_bounds(self, bounds, interiors, perm, k):
-        """Every replica's RUNNING in-grid cloud bbox (the min/max over
-        every step of the segment, so excursions that self-reverse are
-        still seen) must stay inside its region interior; replicas whose
+    def check(self, run_bounds, interior, idx):
+        """Replica indices (from ``idx``) whose RUNNING in-grid cloud
+        bbox (min/max over every step of the segment, so excursions that
+        self-reverse are still seen) left ``interior``; replicas whose
         atoms were outside the full grid the whole segment are exempt
-        (only the restraint branch ran for them). Violations raise
-        _RegionCrossing so run() can re-run the segment in smaller
-        chunks before giving up."""
-        blo, bhi, any_in = bounds
-        for (ilo, ihi), idx in zip(interiors, perm):
-            ok = ((~any_in[idx])
-                  | (np.all(blo[idx] >= ilo, axis=1)
-                     & np.all(bhi[idx] <= ihi, axis=1)))
-            if not np.all(ok):
-                bad = np.asarray(idx)[~ok]
-                raise _RegionCrossing(
-                    f"replicas {bad.tolist()} crossed their streamed "
-                    f"region boundary during a {k}-step segment; lower "
-                    "refresh_steps or enlarge region_shape", bad)
+        (only the restraint branch ran for them)."""
+        blo, bhi, any_in = run_bounds
+        ilo, ihi = interior
+        ok = ((~any_in[idx])
+              | (np.all(blo[idx] >= ilo, axis=1)
+                 & np.all(bhi[idx] <= ihi, axis=1)))
+        return np.asarray(idx)[~ok]
+
+
+def _default_step_factory(dt, friction, scheme):
+    def factory(force_fn, t, base_args):
+        return make_langevin_step(force_fn, base_args.masses, dt,
+                                  friction, t, scheme=scheme,
+                                  constraints=base_args.constraints)
+    return factory
+
+
+def _default_base_force(base_args, x):
+    return energy_and_forces(base_args, [], x)[1]
+
+
+class StreamedBatchMD:
+    """Langevin MD for a batch of replica clouds over file-backed grids.
+
+    Default construction (the mm-layer path): ``evaluators`` are
+    co-located :class:`StreamedGridEvaluator`s (one per grid file, e.g.
+    charge/ljr/lja over the same box); ``scalings`` one per-atom scaling
+    array per evaluator; ``system`` supplies masses/bonded
+    terms/constraints. Each replica's cloud must fit one region at a
+    time — the batch as a whole may scatter anywhere.
+
+    Generalized construction (what ``api.Context`` delegates to): pass
+    ``sets`` (a list of :class:`StreamSet`), a ``step_factory``
+    ``(force_fn, temperature, base_args) -> step_fn`` and a
+    ``base_force`` ``(base_args, x) -> forces`` for all non-streamed
+    terms; ``run(..., base_args=...)`` threads whatever pytree the
+    base/step callables need through jit as an argument.
+    """
+
+    def __init__(self, evaluators=None, scalings=None, system: System = None,
+                 dt: float = 0.001, friction: float = 1.0,
+                 scheme: str = "classic", refresh_steps: int = 50, *,
+                 sets: Sequence[StreamSet] = None, step_factory=None,
+                 base_force=None):
+        if sets is None:
+            sets = [StreamSet(evaluators, scalings)]
+        elif evaluators is not None or scalings is not None:
+            raise ValueError("pass either evaluators/scalings or sets")
+        if not sets:
+            raise ValueError("need at least one StreamSet")
+        if int(refresh_steps) < 1:
+            raise ValueError("refresh_steps must be >= 1")
+        self.sets = list(sets)
+        self.system = system
+        self.dt = float(dt)
+        self.friction = float(friction)
+        self.scheme = scheme
+        self.refresh_steps = int(refresh_steps)
+        self.step_factory = (step_factory if step_factory is not None
+                             else _default_step_factory(self.dt,
+                                                        self.friction,
+                                                        scheme))
+        self.base_force = (base_force if base_force is not None
+                           else _default_base_force)
+        self._runners = {}
+
+    @property
+    def evaluators(self):
+        return self.sets[0].evaluators
+
+    def _runner(self, n_steps: int, n_total: int):
+        """Jitted group-segment runner; region payloads are ARGUMENTS so
+        the compiled program is shared by every region (and never embeds
+        multi-MB tables as HLO constants). Atoms outside a set's FULL
+        grid take that set's full-box restraint (applied once per fused
+        set with the set's effective k)."""
+        key = (n_steps, n_total)
+        run = self._runners.get(key)
+        if run is not None:
+            return run
+        metas = []
+        for s in self.sets:
+            lo, hi = s.full_box
+            w = s.scatter_matrix(n_total)
+            idx = (None if s.atom_idx is None or w is None
+                   else jnp.asarray(s.atom_idx))
+            metas.append((np.asarray(lo), np.asarray(hi),
+                          float(s.oob_k),
+                          idx, None if w is None else jnp.asarray(w)))
+        base_force = self.base_force
+        step_factory = self.step_factory
+
+        def seg(states, base_args, payloads, scals, temps):
+            dtype = states.positions.dtype
+            boxes = [(jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
+                     for lo, hi, _, _, _ in metas]
+
+            def sub(x, meta):
+                return x if meta[3] is None else x[meta[3]]
+
+            def one(state, t):
+                def force_fn(x):
+                    f = base_force(base_args, x)
+                    for meta, (blo, bhi), pay, sc in zip(
+                            metas, boxes, payloads, scals):
+                        xi = sub(x, meta)
+                        if isinstance(pay, tuple):   # direct fallback
+                            fr = sum(evaluate_grid(g, xi, sc[gi]).forces
+                                     for gi, g in enumerate(pay))
+                        else:
+                            fr = evaluate_multi(pay, xi, sc).forces
+                        inside = jnp.all((xi >= blo) & (xi <= bhi),
+                                         axis=1)
+                        dev = jnp.where(
+                            xi < blo, xi - blo,
+                            jnp.where(xi > bhi, xi - bhi, 0.0))
+                        fi = jnp.where(inside[:, None], fr,
+                                       -meta[2] * dev)
+                        f = f + (fi if meta[4] is None else meta[4] @ fi)
+                    return f
+
+                step = step_factory(force_fn, t, base_args)
+
+                # carry RUNNING per-set in-grid bboxes so mid-segment
+                # region excursions are detected even when the region
+                # restraint (or an exit from the full grid) pulls the
+                # atom back before the segment ends
+                def body(carry, _):
+                    st, bbs = carry
+                    st2 = step(st)
+                    nb = []
+                    for meta, (blo, bhi), (rlo, rhi) in zip(metas, boxes,
+                                                            bbs):
+                        l2, h2 = _cloud_bounds(sub(st2.positions, meta),
+                                               blo, bhi)
+                        nb.append((jnp.minimum(rlo, l2),
+                                   jnp.maximum(rhi, h2)))
+                    return (st2, tuple(nb)), None
+
+                bb0 = tuple(
+                    _cloud_bounds(sub(state.positions, meta), blo, bhi)
+                    for meta, (blo, bhi) in zip(metas, boxes))
+                (st, bbs), _ = jax.lax.scan(
+                    body, (state, bb0), None, length=n_steps, unroll=4)
+                return st, bbs
+            out, run_bbs = jax.vmap(one)(states, temps)
+            per_set = []
+            for si, (meta, (blo, bhi)) in enumerate(zip(metas, boxes)):
+                xi = (out.positions if meta[3] is None
+                      else out.positions[:, meta[3]])
+                fin_lo, fin_hi = _cloud_bounds(xi, blo, bhi)
+                rlo, rhi = run_bbs[si]
+                per_set.append(jnp.concatenate(
+                    [fin_lo, fin_hi, rlo, rhi], axis=1))   # [R, 12]
+            return out, jnp.stack(per_set, axis=1)         # [R, S, 12]
+
+        run = jax.jit(seg)
+        self._runners[key] = run
+        return run
+
+    def run(self, states: MDState, temperatures, n_steps: int,
+            base_args=None) -> MDState:
+        """Advance every replica ``n_steps``; returns the new batch.
+
+        Host traffic per segment is O(R) floats (in-grid cloud bboxes
+        computed on device), never the position tensor; the common
+        all-replicas-one-region case runs the segment with zero
+        gather/scatter dispatches. A replica whose cloud outruns its
+        region mid-segment (e.g. a charge-fusion-accelerated atom) is
+        detected at the segment boundary and the segment re-runs from
+        its saved start in quarter-length chunks with the violators'
+        regions re-centered on their current clouds — only a cloud
+        faster than the region margin over ~a dozen steps still raises.
+        """
+        if base_args is None:
+            base_args = self.system
+        n_rep = states.positions.shape[0]
+        dtype = states.positions.dtype
+        temps = np.broadcast_to(np.asarray(temperatures), (n_rep,))
+        bounds = []
+        for s in self.sets:
+            full_lo, full_hi = s.full_box
+            l0, h0 = _CLOUD_BOUNDS_JIT(s.take(states.positions),
+                                       jnp.asarray(full_lo, dtype),
+                                       jnp.asarray(full_hi, dtype))
+            l0, h0 = np.asarray(l0), np.asarray(h0)
+            bounds.append((l0, h0, np.isfinite(l0).all(axis=1)))
+        scal_args = tuple(jnp.asarray(s.scal_stack, dtype)
+                          for s in self.sets)
+        done = 0
+        while done < n_steps:
+            k = min(self.refresh_steps, n_steps - done)
+            states, bounds = self._run_chunk(states, bounds, temps,
+                                             scal_args, base_args, k,
+                                             depth=0)
+            done += k
+        return states
+
+    def _run_chunk(self, states, bounds, temps, scal_args, base_args, k,
+                   depth):
+        try:
+            return self._segment(states, bounds, temps, scal_args,
+                                 base_args, k)
+        except _RegionCrossing as rc:
+            if depth >= 2 or k < 4:
+                raise
+            # drop the violators' hysteresis entries so the retry
+            # actually RE-CENTERS their regions on the current clouds
+            # (the segment-start bbox is usually still inside the old
+            # interior, so hysteresis alone would keep the old region
+            # and the retry would rely on shorter chunks only)
+            n_rep = states.positions.shape[0]
+            recenter = np.zeros(n_rep, dtype=bool)
+            recenter[rc.bad] = True
+            for s in self.sets:
+                if s._starts is not None:
+                    s._recenter = recenter
+            sub = max(k // 4, 1)
+            left = k
+            while left > 0:
+                piece = min(sub, left)
+                states, bounds = self._run_chunk(states, bounds, temps,
+                                                 scal_args, base_args,
+                                                 piece, depth + 1)
+                left -= piece
+            return states, bounds
+
+    def _segment(self, states, bounds, temps, scal_args, base_args, k):
+        n_rep = states.positions.shape[0]
+        n_total = states.positions.shape[1]
+        dtype = states.positions.dtype
+        runner = self._runner(k, n_total)
+        starts = [s.assign(bounds[si]) for si, s in enumerate(self.sets)]
+        combo = np.hstack(starts)                         # [R, 3S]
+        uniq, inverse = np.unique(combo, axis=0, return_inverse=True)
+        # never thrash the packed-region LRU: it must hold at least one
+        # entry per concurrent group
+        for s in self.sets:
+            s.packed_regions = max(s.packed_regions, uniq.shape[0])
+
+        def group_payloads(u):
+            payloads, interiors = [], []
+            for si, s in enumerate(self.sets):
+                pay, interior = s.payload(uniq[u][3 * si:3 * si + 3])
+                payloads.append(pay)
+                interiors.append(interior)
+            return tuple(payloads), interiors
+
+        if uniq.shape[0] == 1:
+            payloads, interiors = group_payloads(0)
+            states, b = runner(states, base_args, payloads, scal_args,
+                               jnp.asarray(temps, dtype))
+            bset = np.asarray(b)                  # ONE [R,S,12] download
+            perm = [np.arange(n_rep)]
+            group_interiors = [interiors]
+        else:
+            perm, outs, bparts, group_interiors = [], [], [], []
+            for u in range(uniq.shape[0]):
+                idx = np.nonzero(inverse == u)[0]
+                payloads, interiors = group_payloads(u)
+                nb = 1 << (len(idx) - 1).bit_length()
+                pad = np.concatenate(
+                    [idx, np.repeat(idx[:1], nb - len(idx))])
+                subs = jax.tree.map(lambda x: x[pad], states)
+                out, b = runner(subs, base_args, payloads, scal_args,
+                                jnp.asarray(temps[pad], dtype))
+                perm.append(idx)
+                outs.append(jax.tree.map(lambda x: x[:len(idx)], out))
+                bparts.append(np.asarray(b)[:len(idx)])
+                group_interiors.append(interiors)
+            order = np.argsort(np.concatenate(perm))
+            states = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[order], *outs)
+            bset = np.concatenate(bparts, axis=0)[order]
+        # the check sees the RUNNING bbox (every mid-segment excursion);
+        # the next assignment sees the final bbox
+        bad_all = []
+        fins = []
+        for si, s in enumerate(self.sets):
+            fin, run_b = _unpack_set_bounds(bset[:, si, :])
+            fins.append(fin)
+            for gi, idx in enumerate(perm):
+                bad = s.check(run_b, group_interiors[gi][si], idx)
+                if bad.size:
+                    bad_all.append(bad)
+        if bad_all:
+            bad = np.unique(np.concatenate(bad_all))
+            raise _RegionCrossing(
+                f"replicas {bad.tolist()} crossed their streamed "
+                f"region boundary during a {k}-step segment; lower "
+                "refresh_steps or enlarge region_shape", bad)
+        return states, fins

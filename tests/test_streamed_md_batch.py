@@ -147,7 +147,8 @@ def test_region_crossing_retry_recenters(tmp_path):
     md = StreamedBatchMD(evs, scals, system, dt=0.0005, friction=2.0,
                          refresh_steps=10)
     md.run(states, 0.0, 10)              # populate region hysteresis
-    old = md._starts.copy()
+    sset = md.sets[0]
+    old = sset._starts.copy()
 
     # fabricate a cloud bbox nudged 3 cells (+0.3 nm) in x but still
     # inside the old region's interior -> hysteresis keeps the region
@@ -161,15 +162,15 @@ def test_region_crossing_retry_recenters(tmp_path):
     bhi[0, 0] += 0.3
     bounds = (blo, bhi, any_in)
 
-    s1 = md._assign_regions(bounds)
+    s1 = sset.assign(bounds)
     assert np.array_equal(s1, old), "hysteresis should keep all regions"
 
     # now mark replica 0 as a crossing violator (what _run_chunk does)
-    md._recenter = np.zeros(len(any_in), dtype=bool)
-    md._recenter[0] = True
-    s2 = md._assign_regions(bounds)
+    sset._recenter = np.zeros(len(any_in), dtype=bool)
+    sset._recenter[0] = True
+    s2 = sset.assign(bounds)
     assert not np.array_equal(s2[0], old[0]), \
         "violator's region must re-center on its current cloud"
     assert np.array_equal(s2[1:], old[1:]), \
         "non-violators keep their regions"
-    assert md._recenter is None, "recenter request is one-shot"
+    assert sset._recenter is None, "recenter request is one-shot"

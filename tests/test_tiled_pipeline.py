@@ -133,12 +133,13 @@ def test_streamed_md_stepping_trajectory_parity(tmp_path):
                                ctx_mem.getPositions(),
                                rtol=1e-5, atol=1e-7)
 
-    # region reuse: the cloud barely moves, so most of the 4 segment
-    # refreshes must hit the cached region (zero file I/O)
+    # region reuse: the cloud barely moves, so region hysteresis plus
+    # the packed-region LRU must serve every segment after the first
+    # from ONE region read (zero further file I/O)
     streamer = next(i.streamer for i in ctx_str._grid_infos.values()
                     if i.streamer is not None)
-    assert streamer.region_hits >= 2, (streamer.region_hits,
-                                       streamer.region_misses)
+    assert streamer.region_misses == 1, (streamer.region_hits,
+                                         streamer.region_misses)
 
     # minimizeEnergy must also work on the streamed path
     sim = gfp.Simulation(rec_top, ctx_str.system,
@@ -148,6 +149,52 @@ def test_streamed_md_stepping_trajectory_parity(tmp_path):
     sim.minimizeEnergy(maxIterations=30, tolerance=1.0)
     e1 = ctx_str.getState(getEnergy=True).getPotentialEnergy()
     assert e1 <= e0 + 1e-9
+
+
+def test_context_streamed_detects_self_reversing_excursion(tmp_path):
+    """Compat-API clone of
+    test_streamed_batch_detects_self_reversing_excursion: Context
+    streamed stepping DELEGATES to the batch engine (a Context is a
+    batch of one), so a cloud that crosses its region mid-segment is
+    still detected by the running in-scan bbox, not an endpoint-only
+    check. The violator here (as in the batch test) is a ligand
+    launched from outside the grid: the stiff full-box restraint
+    slingshots it across the box faster than any region can follow."""
+    from openmmgridforce_tpu.io import write_grid_tiled
+    from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
+    from openmmgridforce_tpu.ops import gridgen
+
+    data = "/root/reference/python/prmtopcrd"
+    lig = load_prmtop(f"{data}/ligand.prmtop")
+    lig_x = load_inpcrd(f"{data}/ligand.trans.inpcrd")
+    lig_x = lig_x - lig_x.min(0)
+
+    counts, spacing, origin = (33, 33, 33), (0.1,) * 3, (-0.8,) * 3
+    rng = np.random.default_rng(31)
+    rec = rng.uniform(-0.5, 2.2, (15, 3))
+    q = rng.uniform(-0.2, 0.2, 15)
+
+    system = gfp.create_system(lig)
+    for gt in ["charge", "lja"]:
+        grid = gridgen.generate_grid(
+            counts, spacing, origin, gt, rec, q,
+            np.full(15, 0.32), np.full(15, 0.4), dtype=np.float64)
+        path = str(tmp_path / f"{gt}.tiled")
+        write_grid_tiled(path, grid, tile_size=8)
+        g = gfp.GridForce()
+        g.setTiledInputFile(path)
+        g.setInterpolationMethod(1)         # B-spline
+        g.setStreamRegionShape(26, 26, 26)
+        g.setScalingFactors(np.asarray(gridgen.auto_scaling_factors(
+            gt, lig.charges, lig.sigmas, lig.epsilons)))
+        system.addForce(g)
+
+    ctx = gfp.Context(system, gfp.LangevinIntegrator(0.0, 0.2, 0.001))
+    ctx.setPositions(lig_x + 4.0)           # fully outside the grid
+    ctx.setVelocities(np.zeros_like(lig_x))
+    ctx.stream_refresh_steps = 400
+    with pytest.raises(RuntimeError, match="crossed their streamed"):
+        ctx.getIntegrator().step(400)
 
 
 def test_evaluate_batch_scattered_replicas(tmp_path):
