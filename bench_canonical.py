@@ -1,0 +1,511 @@
+#!/usr/bin/env python
+"""Canonical- and stress-scale campaign: run the engine at the
+REFERENCE'S OWN grid scales and publish the numbers.
+
+- canonical: the host-guest binding-site box, 208x278x231 points at
+  0.0125 nm (13.36M pts/grid) — the grid of the reference's core
+  accuracy suite (/root/reference/python/tests/test_simple_grid_energy
+  .py:29-31 and every test_{bspline,tricubic,triquintic}.py).
+- stress: 520x695x578 points at 0.005 nm (~208.9M pts/grid), tiled on
+  disk — the reference's tiled streaming stress test
+  (test_bspline_tiled_highres.py:46-57).
+
+Stages are subcommands so each long step can run (and restart)
+independently; results append JSON lines to BENCH_CANONICAL.jsonl and
+the table in BENCH_MATRIX.md is updated by hand from there.
+
+    python bench_canonical.py gen          # TPU: canonical value grids
+    python bench_canonical.py parity       # CPU f64 pairwise oracle gate
+    python bench_canonical.py md [--fuse auto|all|pair|none|streamed]
+    python bench_canonical.py derivs       # TPU: 27-derivative grids
+    python bench_canonical.py accuracy     # f32 cheb-packed vs f64 truth
+    python bench_canonical.py hermite [--method tricubic|triquintic]
+    python bench_canonical.py stress-gen   # TPU -> ~2.5 GB tiled files
+    python bench_canonical.py stress-md    # streamed MD on 209M pts
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = "/root/reference/python/prmtopcrd"
+OUT = os.path.join(HERE, "BENCH_CANONICAL.jsonl")
+
+# reference canonical box (test_simple_grid_energy.py:29-31)
+ORIGIN = (1.00175115, 0.5328844699999999, 0.8606374500000002)
+SPACING = (0.0125, 0.0125, 0.0125)
+COUNTS = (208, 278, 231)
+# reference stress box (test_bspline_tiled_highres.py:46-57)
+S_SPACING = (0.005, 0.005, 0.005)
+S_COUNTS = (520, 695, 578)
+
+GRID_TYPES = ["charge", "ljr", "lja"]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(row):
+    row = dict(row)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def load_amber():
+    from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    lig_x = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    rec = load_prmtop(f"{DATA}/receptor.prmtop")
+    rec_x = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
+    return lig, lig_x, rec, rec_x
+
+
+def vals_cache(gt):
+    return os.path.join(HERE, f".bench_canonical_{gt}.npy")
+
+
+def derivs_cache(gt):
+    return os.path.join(HERE, f".bench_canonical_derivs_{gt}.npy")
+
+
+def pairwise_energy(grid_type, lig, lig_x, rec, rec_x):
+    """The reference oracle (test_simple_grid_energy.py:124-184): f64
+    pairwise double sum with the grid's geometric-mean decomposition."""
+    from openmmgridforce_tpu.units import COULOMB_CONST, TWO_POW_ONE_SIXTH
+    d = np.linalg.norm(lig_x[:, None, :] - rec_x[None, :, :], axis=-1)
+    if grid_type == "charge":
+        return float((COULOMB_CONST
+                      * np.outer(lig.charges, rec.charges) / d).sum())
+    rmin_l = TWO_POW_ONE_SIXTH * lig.sigmas
+    rmin_r = TWO_POW_ONE_SIXTH * rec.sigmas
+    se = np.sqrt(np.outer(lig.epsilons, rec.epsilons))
+    if grid_type == "ljr":
+        return float((se * np.outer(rmin_l**6, rmin_r**6) / d**12).sum())
+    return float((-2.0 * se * np.outer(rmin_l**3, rmin_r**3)
+                  / d**6).sum())
+
+
+def scaling_for(gt, lig):
+    from openmmgridforce_tpu.ops import gridgen
+    return np.asarray(gridgen.auto_scaling_factors(
+        gt, lig.charges, lig.sigmas, lig.epsilons))
+
+
+# ----------------------------------------------------------------------
+# stages
+# ----------------------------------------------------------------------
+
+def stage_gen(args):
+    import jax
+
+    from openmmgridforce_tpu.ops import gridgen
+    _, _, rec, rec_x = load_amber()
+    dev = jax.devices()[0]
+    log(f"canonical generation on {dev}")
+    for gt in GRID_TYPES:
+        path = vals_cache(gt)
+        if os.path.exists(path) and not args.force:
+            log(f"{gt}: cached")
+            continue
+        t0 = time.time()
+        g = gridgen.generate_grid(COUNTS, SPACING, ORIGIN, gt, rec_x,
+                                  rec.charges, rec.sigmas, rec.epsilons,
+                                  dtype=np.float32)
+        v = np.asarray(g.vals)
+        dt = time.time() - t0
+        np.save(path, v)
+        pts = int(np.prod(COUNTS))
+        emit({"stage": "gen", "grid": gt, "points": pts,
+              "seconds": round(dt, 2), "device": str(dev),
+              "pair_evals_per_s": round(pts * rec_x.shape[0] / dt / 1e9,
+                                        1)})
+
+
+def stage_parity(args):
+    from openmmgridforce_tpu import Grid, InterpolationMethod
+    from openmmgridforce_tpu.ops.interpolate import evaluate_grid
+    lig, lig_x, rec, rec_x = load_amber()
+    worst = 0.0
+    for gt in GRID_TYPES:
+        v = np.load(vals_cache(gt)).astype(np.float64)
+        grid = Grid.create(v, SPACING, ORIGIN,
+                           interp_method=InterpolationMethod.BSPLINE,
+                           dtype=np.float64)
+        res = evaluate_grid(grid, lig_x, scaling_for(gt, lig))
+        e_grid = float(res.energy)
+        e_pair = pairwise_energy(gt, lig, lig_x, rec, rec_x)
+        rel = abs(e_grid - e_pair) / abs(e_pair)
+        worst = max(worst, rel)
+        emit({"stage": "parity", "grid": gt, "e_grid": e_grid,
+              "e_pairwise": e_pair, "rel_err": rel,
+              "gate": 0.02, "pass": rel < 0.02})
+    log(f"worst rel err {worst:.4%} (reference gate 2%)")
+
+
+def _build_packs(dtype, fuse, method=None):
+    """Canonical packed bindings under the requested fusion strategy.
+    Returns (bindings, label)."""
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu import Grid, InterpolationMethod
+    from openmmgridforce_tpu.mm import GridBinding
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+    method = method or InterpolationMethod.BSPLINE
+    hermite = method in (InterpolationMethod.TRICUBIC,
+                         InterpolationMethod.TRIQUINTIC)
+    lig, _, _, _ = load_amber()
+    packs, scals = [], []
+    for gt in GRID_TYPES:
+        if hermite:
+            d = np.load(derivs_cache(gt), mmap_mode="r")
+            grid = Grid.create(np.ascontiguousarray(d[0]), SPACING,
+                               ORIGIN, derivs=np.moveaxis(d, 0, -1),
+                               interp_method=method, dtype=dtype)
+        else:
+            grid = Grid.create(np.load(vals_cache(gt)), SPACING, ORIGIN,
+                               interp_method=method, dtype=dtype)
+        packs.append(pack_grid(grid))
+        scals.append(scaling_for(gt, lig))
+        del grid
+    if fuse == "all":
+        groups = [[0, 1, 2]]
+    elif fuse == "pair":
+        groups = [[0, 1], [2]]
+    else:
+        groups = [[0], [1], [2]]
+    bindings = []
+    for grp in groups:
+        if len(grp) == 1:
+            multi = combine_packed_grids([packs[grp[0]]])
+        else:
+            multi = combine_packed_grids([packs[i] for i in grp])
+        bindings.append(GridBinding(
+            grid=multi,
+            scaling=jnp.asarray(np.stack([scals[i] for i in grp]),
+                                dtype)))
+    return bindings, f"fuse={fuse}"
+
+
+def _time_md(bindings, n_replicas, n_steps, dtype, dt_fs=1.0):
+    import jax
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu.mm import (load_inpcrd, load_prmtop,
+                                        make_md_runner, system_from_amber)
+    from openmmgridforce_tpu.parallel import init_replica_states
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
+    states = init_replica_states(jax.random.PRNGKey(0),
+                                 jnp.asarray(crd, dtype), system.masses,
+                                 300.0, n_replicas)
+    run = make_md_runner(n_steps, dt=dt_fs * 1e-3, friction=5.0)
+    temps = jnp.full((n_replicas,), 300.0, dtype)
+    states = jax.block_until_ready(run(states, system, bindings, temps))
+    t0 = time.time()
+    states = jax.block_until_ready(run(states, system, bindings, temps))
+    dt = time.time() - t0
+    assert bool(jnp.isfinite(states.positions).all())
+    return n_steps / dt
+
+
+def stage_md(args):
+    import jax
+    dtype = np.float32
+    order = ([args.fuse] if args.fuse != "auto"
+             else ["all", "pair", "none"])
+    for fuse in order:
+        try:
+            log(f"building packs ({fuse}) ...")
+            bindings, label = _build_packs(dtype, fuse)
+            sps = _time_md(bindings, args.replicas, args.steps, dtype)
+            n_atoms = 47
+            emit({"stage": "md", "method": "bspline", "fuse": fuse,
+                  "replicas": args.replicas,
+                  "steps_per_s": round(sps, 1),
+                  "atom_evals_per_s": round(
+                      sps * args.replicas * n_atoms * 3 / 1e6, 1),
+                  "grid_points": int(np.prod(COUNTS)),
+                  "device": str(jax.devices()[0])})
+            return
+        except Exception as e:
+            log(f"fuse={fuse} failed: {type(e).__name__}: "
+                f"{str(e)[:300]}")
+            if args.fuse != "auto":
+                raise
+    raise SystemExit("all fusion strategies failed")
+
+
+def stage_derivs(args):
+    import jax
+
+    from openmmgridforce_tpu import InterpolationMethod
+    from openmmgridforce_tpu.ops import gridgen
+    _, _, rec, rec_x = load_amber()
+    dev = jax.devices()[0]
+    for gt in GRID_TYPES:
+        path = derivs_cache(gt)
+        if os.path.exists(path) and not args.force:
+            log(f"{gt}: cached")
+            continue
+        t0 = time.time()
+        g = gridgen.generate_grid(
+            COUNTS, SPACING, ORIGIN, gt, rec_x, rec.charges, rec.sigmas,
+            rec.epsilons, compute_derivatives=True,
+            interp_method=InterpolationMethod.TRIQUINTIC,
+            dtype=np.float32)
+        d = np.moveaxis(np.asarray(g.derivs), -1, 0)   # [27, nx, ny, nz]
+        dt = time.time() - t0
+        np.save(path, d)
+        emit({"stage": "derivs", "grid": gt,
+              "points": int(np.prod(COUNTS)), "seconds": round(dt, 2),
+              "device": str(dev)})
+
+
+def stage_accuracy(args):
+    """f32 Chebyshev-packed Hermite evaluation vs f64 direct truth on
+    the REAL canonical receptor grids, probing shells around receptor
+    cores (the steep capped-field case that broke monomial packing).
+    Truth isolates packing/eval conditioning: both sides read the same
+    generated f32 grid data, the truth side evaluating the direct
+    Hermite stencil in float64."""
+    from openmmgridforce_tpu import Grid, InterpolationMethod
+    from openmmgridforce_tpu.ops.interpolate import evaluate_grid
+    from openmmgridforce_tpu.ops.packed import evaluate_packed, pack_grid
+    rng = np.random.default_rng(11)
+    _, lig_x, rec, rec_x = load_amber()
+    origin = np.asarray(ORIGIN)
+    corner = origin + (np.asarray(COUNTS) - 1) * np.asarray(SPACING)
+    # receptor atoms well inside the canonical box
+    inner = rec_x[np.all((rec_x > origin + 0.35)
+                         & (rec_x < corner - 0.35), axis=1)]
+    cores = inner[rng.choice(len(inner), size=args.windows,
+                             replace=False)]
+    methods = {"tricubic": InterpolationMethod.TRICUBIC,
+               "triquintic": InterpolationMethod.TRIQUINTIC}
+    win = 40            # window half-extent in grid points (0.5 nm)
+    for gt in GRID_TYPES:
+        d27 = np.load(derivs_cache(gt), mmap_mode="r")
+        for mname, method in methods.items():
+            max_rel, typ = 0.0, []
+            for c in cores:
+                ic = np.floor((c - origin) / np.asarray(SPACING)) \
+                    .astype(int)
+                lo = np.clip(ic - win, 0, np.asarray(COUNTS) - 1)
+                hi = np.clip(ic + win, 0, np.asarray(COUNTS) - 1)
+                sub = np.ascontiguousarray(
+                    d27[:, lo[0]:hi[0] + 1, lo[1]:hi[1] + 1,
+                        lo[2]:hi[2] + 1]).astype(np.float64)
+                sub_origin = origin + lo * np.asarray(SPACING)
+                g64 = Grid.create(sub[0], SPACING, sub_origin,
+                                  derivs=np.moveaxis(sub, 0, -1),
+                                  interp_method=method,
+                                  dtype=np.float64)
+                g32 = Grid.create(sub[0].astype(np.float32), SPACING,
+                                  sub_origin,
+                                  derivs=np.moveaxis(
+                                      sub, 0, -1).astype(np.float32),
+                                  interp_method=method,
+                                  dtype=np.float32)
+                p32 = pack_grid(g32)     # auto: chebyshev for f32
+                # probe shells r in [0.12, 0.5] nm around the core,
+                # clipped to the window interior
+                u = rng.standard_normal((args.points, 3))
+                u /= np.linalg.norm(u, axis=1, keepdims=True)
+                r = rng.uniform(0.12, 0.5, (args.points, 1))
+                pts = np.clip(c + u * r, sub_origin + 0.05,
+                              sub_origin + (np.asarray(sub[0].shape) - 1)
+                              * np.asarray(SPACING) - 0.05)
+                ones = np.ones(len(pts))
+                e64 = np.asarray(evaluate_grid(
+                    g64, pts, ones).per_atom_energy)
+                e32 = np.asarray(evaluate_packed(
+                    p32, pts.astype(np.float32),
+                    ones.astype(np.float32)).per_atom_energy)
+                scale = np.maximum(np.abs(e64), 1e-6 * np.abs(e64).max())
+                rel = np.abs(e32 - e64) / scale
+                max_rel = max(max_rel, float(rel.max()))
+                typ.append(float(np.median(rel)))
+            emit({"stage": "accuracy", "grid": gt, "method": mname,
+                  "basis": "chebyshev-f32", "windows": args.windows,
+                  "points_per_window": args.points,
+                  "max_rel": max_rel,
+                  "median_rel": float(np.median(typ)),
+                  "gate": 1e-5, "pass": max_rel < 1e-5})
+
+
+def stage_hermite(args):
+    import jax
+
+    from openmmgridforce_tpu import InterpolationMethod
+    dtype = np.float32
+    method = {"tricubic": InterpolationMethod.TRICUBIC,
+              "triquintic": InterpolationMethod.TRIQUINTIC}[args.method]
+    for fuse in ([args.fuse] if args.fuse != "auto"
+                 else (["all", "pair", "none"]
+                       if args.method == "tricubic" else ["none"])):
+        try:
+            log(f"building {args.method} packs ({fuse}) ...")
+            bindings, label = _build_packs(dtype, fuse, method)
+            sps = _time_md(bindings, args.replicas, args.steps, dtype)
+            emit({"stage": "md", "method": args.method,
+                  "basis": "chebyshev-f32", "fuse": fuse,
+                  "replicas": args.replicas,
+                  "steps_per_s": round(sps, 1),
+                  "atom_evals_per_s": round(
+                      sps * args.replicas * 47 * 3 / 1e6, 1),
+                  "grid_points": int(np.prod(COUNTS)),
+                  "device": str(jax.devices()[0])})
+            return
+        except Exception as e:
+            log(f"fuse={fuse} failed: {type(e).__name__}: "
+                f"{str(e)[:300]}")
+            if args.fuse != "auto":
+                raise
+    raise SystemExit("all fusion strategies failed")
+
+
+def stress_path(gt):
+    return os.path.join(args_cache_dir(), f"stress_{gt}.tiled")
+
+
+def args_cache_dir():
+    d = os.path.join(HERE, ".bench_stress")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def stage_stress_gen(args):
+    import jax
+
+    from openmmgridforce_tpu.ops.gridgen import generate_grid_to_tiled_file
+    _, _, rec, rec_x = load_amber()
+    dev = jax.devices()[0]
+    pts = int(np.prod(S_COUNTS))
+    for gt in GRID_TYPES:
+        path = stress_path(gt)
+        if os.path.exists(path) and not args.force:
+            log(f"{gt}: cached ({os.path.getsize(path) / 1e9:.2f} GB)")
+            continue
+        t0 = time.time()
+        last = [0.0]
+
+        def progress(done, total):
+            if time.time() - last[0] > 20:
+                last[0] = time.time()
+                log(f"  {gt}: {done}/{total} tiles")
+        generate_grid_to_tiled_file(
+            path, S_COUNTS, S_SPACING, ORIGIN, gt, rec_x, rec.charges,
+            rec.sigmas, rec.epsilons, tile_size=32,
+            compute_derivatives=False, progress=progress)
+        dt = time.time() - t0
+        emit({"stage": "stress-gen", "grid": gt, "points": pts,
+              "seconds": round(dt, 2),
+              "file_gb": round(os.path.getsize(path) / 1e9, 2),
+              "pair_evals_per_s": round(pts * rec_x.shape[0] / dt / 1e9,
+                                        1), "device": str(dev)})
+
+
+def stage_stress_md(args):
+    import jax
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu import InterpolationMethod
+    from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+    from openmmgridforce_tpu.mm import (StreamedBatchMD, load_inpcrd,
+                                        load_prmtop, system_from_amber)
+    from openmmgridforce_tpu.parallel import init_replica_states
+    dtype = np.float32
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    rshape = (args.region,) * 3
+    evs = [StreamedGridEvaluator(stress_path(gt),
+                                 InterpolationMethod.BSPLINE,
+                                 region_shape=rshape)
+           for gt in GRID_TYPES]
+    scals = [scaling_for(gt, lig) for gt in GRID_TYPES]
+
+    # parity gate first (reference highres gates: <0.5% good, <2% ok)
+    recp = load_prmtop(f"{DATA}/receptor.prmtop")
+    rec_x = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
+    for gt, ev in zip(GRID_TYPES, evs):
+        e_grid = float(ev.evaluate(crd, scals[GRID_TYPES.index(gt)])
+                       .energy)
+        e_pair = pairwise_energy(gt, lig, crd, recp, rec_x)
+        rel = abs(e_grid - e_pair) / abs(e_pair)
+        emit({"stage": "stress-parity", "grid": gt, "e_grid": e_grid,
+              "e_pairwise": e_pair, "rel_err": rel, "gate": 0.02,
+              "pass": rel < 0.02})
+
+    system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
+    states = init_replica_states(jax.random.PRNGKey(0),
+                                 jnp.asarray(crd, dtype), system.masses,
+                                 300.0, args.replicas)
+    md = StreamedBatchMD(evs, scals, system, dt=args.dt_fs * 1e-3,
+                         friction=5.0, refresh_steps=args.refresh)
+    t0 = time.time()
+    states = md.run(states, 300.0, args.warm)
+    log(f"warmup {args.warm} steps: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    states = md.run(states, 300.0, args.steps)
+    dt = time.time() - t0
+    assert bool(jnp.isfinite(np.asarray(states.positions)).all())
+    emit({"stage": "stress-md", "method": "bspline-streamed",
+          "replicas": args.replicas, "region_shape": args.region,
+          "refresh_steps": args.refresh, "dt_fs": args.dt_fs,
+          "steps_per_s": round(args.steps / dt, 1),
+          "grid_points": int(np.prod(S_COUNTS)),
+          "on_disk_gb": round(sum(os.path.getsize(stress_path(g))
+                                  for g in GRID_TYPES) / 1e9, 2),
+          "device": str(jax.devices()[0])})
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--force", action="store_true")
+    sub.add_parser("parity")
+    m = sub.add_parser("md")
+    m.add_argument("--fuse", default="auto",
+                   choices=["auto", "all", "pair", "none"])
+    m.add_argument("--replicas", type=int, default=1000)
+    m.add_argument("--steps", type=int, default=1000)
+    d = sub.add_parser("derivs")
+    d.add_argument("--force", action="store_true")
+    a = sub.add_parser("accuracy")
+    a.add_argument("--windows", type=int, default=8)
+    a.add_argument("--points", type=int, default=256)
+    h = sub.add_parser("hermite")
+    h.add_argument("--method", default="tricubic",
+                   choices=["tricubic", "triquintic"])
+    h.add_argument("--fuse", default="auto",
+                   choices=["auto", "all", "pair", "none"])
+    h.add_argument("--replicas", type=int, default=1000)
+    h.add_argument("--steps", type=int, default=1000)
+    sg = sub.add_parser("stress-gen")
+    sg.add_argument("--force", action="store_true")
+    sm = sub.add_parser("stress-md")
+    sm.add_argument("--replicas", type=int, default=100)
+    sm.add_argument("--region", type=int, default=176)
+    sm.add_argument("--refresh", type=int, default=100)
+    sm.add_argument("--warm", type=int, default=100)
+    sm.add_argument("--steps", type=int, default=1000)
+    sm.add_argument("--dt-fs", type=float, default=0.5)
+    args = p.parse_args()
+    {"gen": stage_gen, "parity": stage_parity, "md": stage_md,
+     "derivs": stage_derivs, "accuracy": stage_accuracy,
+     "hermite": stage_hermite, "stress-gen": stage_stress_gen,
+     "stress-md": stage_stress_md}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

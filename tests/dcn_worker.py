@@ -1,11 +1,16 @@
-"""Worker process for the multi-process (DCN) data-parallel test.
+"""Worker process for the multi-process (DCN) data-parallel test and
+for ``__graft_entry__.dryrun_distributed``.
 
 Usage: python dcn_worker.py <process_id> <num_processes> <port> <outdir>
+   or: python dcn_worker.py ref <outdir>
 
-Each process exposes 2 virtual CPU devices, joins the distributed
+Each worker process exposes 2 virtual CPU devices, joins the distributed
 runtime, feeds its local half of a deterministic 8-replica ensemble into
 the globally dp-sharded screen runner, and writes back ONLY its local
-shard. The parent compares the union against a single-process run.
+shard. ``ref`` runs the identical workload single-process (no
+distributed runtime) and writes ``ref.npz``; the parent compares the
+shard union against it (threefry noise is replica-keyed, so results are
+layout-invariant at f64).
 """
 
 import os
@@ -64,6 +69,42 @@ def build_workload(n_replicas, dtype):
     return system, [binding], states, temps
 
 
+def main_reference():
+    """Single-process reference of the distributed workload."""
+    outdir = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from openmmgridforce_tpu.mm.integrators import (make_langevin_step,
+                                                    run_segment)
+    from openmmgridforce_tpu.mm.system import energy_and_forces
+
+    system, grids, states, temps = build_workload(8, jax.numpy.float64)
+
+    @jax.jit
+    def ref_run(states, system, grids, temps):
+        def one(state, t):
+            def force_fn(x):
+                return energy_and_forces(system, grids, x)[1]
+            step = make_langevin_step(force_fn, system.masses, 0.001,
+                                      5.0, t)
+            out = run_segment(step, state, 25)
+            return out, energy_and_forces(system, grids,
+                                          out.positions)[0]
+        return jax.vmap(one)(states, temps)
+
+    out, energies = ref_run(states, system, grids, temps)
+    np.savez(os.path.join(outdir, "ref.npz"),
+             positions=np.asarray(out.positions),
+             energies=np.asarray(energies))
+    print("ref OK")
+
+
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], sys.argv[4])
@@ -109,4 +150,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1] == "ref":
+        main_reference()
+    else:
+        main()
