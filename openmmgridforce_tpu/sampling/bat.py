@@ -25,6 +25,9 @@ from __future__ import annotations
 
 import numpy as np
 
+__all__ = ["build_zmatrix", "xyz_to_bat", "bat_to_xyz",
+           "make_jax_converters"]
+
 
 def _sorted_by_mass(pairs, reverse=False):
     return sorted(pairs, key=lambda a: (a[1], a[0]), reverse=reverse)
@@ -207,3 +210,123 @@ def bat_to_xyz(bat_vec, torsions, primary):
         xyz[b0] = q1 + r * (vu * sn_ang * cs_tor + vp * sn_ang * sn_tor
                             - v21 * cs_ang)
     return xyz
+
+
+def make_jax_converters(torsions, primary):
+    """jnp ports of :func:`xyz_to_bat` / :func:`bat_to_xyz` for ONE
+    z-matrix, vmappable over conformations — the device path for
+    genetic-MC proposal batches (all 2*n_pairs BAT round-trips + splices
+    run inside one jitted dispatch instead of host-serial NumPy).
+
+    ``xyz_to_bat`` is fully vectorized over torsion rows; ``bat_to_xyz``
+    reconstructs the chain with a ``lax.scan`` over the (dependency-
+    ordered) z-matrix — sequential per conformation, but a vmapped batch
+    reconstructs all conformations in lockstep, which is the TPU-shaped
+    layout (batch on the vector lanes, 44-step chain in the scan).
+    Returns ``(xyz_to_bat_fn, bat_to_xyz_fn)``; parity vs the NumPy path
+    is ~1e-12 in float64 (tests/test_sampling.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = np.asarray(torsions, dtype=np.int32)
+    primary = np.asarray(primary, dtype=np.int32)
+    n = len(t)
+    prim_mask = np.zeros(n, dtype=bool)
+    prim_mask[sorted(set(primary.tolist()))] = True
+    a0r, a1r, a2r, a3r = (int(v) for v in t[0])
+    two_pi = 2.0 * np.pi
+
+    def xyz_to_bat_fn(xyz):
+        xyz = jnp.asarray(xyz)
+        p0, p1, p2 = xyz[a3r], xyz[a2r], xyz[a1r]
+        v01 = p1 - p0
+        v21 = p1 - p2
+        r01 = jnp.linalg.norm(v01)
+        r12 = jnp.linalg.norm(v21)
+        a012 = jnp.arccos(jnp.clip(jnp.dot(v01, v21) / (r01 * r12),
+                                   -1.0, 1.0))
+        e = v01 / r01
+        phi = jnp.arctan2(e[1], e[0])
+        theta = jnp.arccos(jnp.clip(e[2], -1.0, 1.0))
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        rz = jnp.stack([jnp.stack([cp * ct, ct * sp, -st]),
+                        jnp.stack([-sp, cp, jnp.zeros_like(sp)]),
+                        jnp.stack([cp * st, sp * st, ct])])
+        pos2 = rz @ (p2 - p1)
+        omega = jnp.arctan2(pos2[1], pos2[0])
+        root = jnp.concatenate(
+            [p0, jnp.stack([phi, theta, omega, r01, r12, a012])])
+
+        q0, q1, q2, q3 = (xyz[t[:, 0]], xyz[t[:, 1]], xyz[t[:, 2]],
+                          xyz[t[:, 3]])
+        bonds = jnp.linalg.norm(q0 - q1, axis=1)
+        w1, w2 = q1 - q0, q1 - q2
+        angles = jnp.arccos(jnp.clip(
+            jnp.sum(w1 * w2, axis=1)
+            / jnp.sqrt(jnp.sum(w1 * w1, axis=1)
+                       * jnp.sum(w2 * w2, axis=1)), -1.0, 1.0))
+        b1, b2, b3 = q1 - q0, q2 - q1, q3 - q2
+        c1 = jnp.cross(b2, b3)
+        c2 = jnp.cross(b1, b2)
+        y = jnp.sum(b1 * c1, axis=1) * jnp.linalg.norm(b2, axis=1)
+        x = jnp.sum(c1 * c2, axis=1)
+        tors = jnp.arctan2(y, x)
+        shift = jnp.where(jnp.asarray(prim_mask), 0.0, tors[primary])
+        tors = jnp.mod(tors - shift + np.pi, two_pi) - np.pi
+        return jnp.concatenate([root, bonds, angles, tors])
+
+    def bat_to_xyz_fn(bv):
+        bv = jnp.asarray(bv)
+        dtype = bv.dtype
+        origin = bv[:3]
+        phi, theta, omega = bv[3], bv[4], bv[5]
+        r01, r12, a012 = bv[6], bv[7], bv[8]
+        bonds = bv[9:9 + n]
+        angles = bv[9 + n:9 + 2 * n]
+        tors0 = bv[9 + 2 * n:]
+        shift = jnp.where(jnp.asarray(prim_mask), 0.0, tors0[primary])
+        tors = jnp.mod(tors0 + shift + np.pi, two_pi) - np.pi
+
+        p1 = jnp.stack([jnp.zeros_like(r01), jnp.zeros_like(r01), r01])
+        p2 = jnp.stack([r12 * jnp.sin(a012), jnp.zeros_like(r12),
+                        r01 - r12 * jnp.cos(a012)])
+        co, so = jnp.cos(omega), jnp.sin(omega)
+        z, o = jnp.zeros_like(co), jnp.ones_like(co)
+        romega = jnp.stack([jnp.stack([co, -so, z]),
+                            jnp.stack([so, co, z]),
+                            jnp.stack([z, z, o])])
+        p2 = romega @ p2
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        re = jnp.stack([jnp.stack([cp * ct, -sp, cp * st]),
+                        jnp.stack([ct * sp, cp, sp * st]),
+                        jnp.stack([-st, z, ct])])
+        p1 = re @ p1 + origin
+        p2 = re @ p2 + origin
+
+        xyz0 = jnp.zeros((n + 3, 3), dtype)
+        xyz0 = xyz0.at[a3r].set(origin).at[a2r].set(p1).at[a1r].set(p2)
+
+        def body(xyz, inp):
+            idx, r, ang, tor = inp
+            q1, q2, q3 = xyz[idx[1]], xyz[idx[2]], xyz[idx[3]]
+            v21 = q1 - q2
+            v21 = v21 / jnp.linalg.norm(v21)
+            v32 = q2 - q3
+            v32 = v32 / jnp.linalg.norm(v32)
+            vp = jnp.cross(v32, v21)
+            cs = jnp.dot(v21, v32)
+            sn = jnp.sqrt(jnp.maximum(1.0 - cs * cs, 1e-10))
+            vp = vp / sn
+            vu = jnp.cross(vp, v21)
+            new = q1 + r * (vu * jnp.sin(ang) * jnp.cos(tor)
+                            + vp * jnp.sin(ang) * jnp.sin(tor)
+                            - v21 * jnp.cos(ang))
+            return xyz.at[idx[0]].set(new), None
+
+        xyz, _ = jax.lax.scan(body, xyz0,
+                              (jnp.asarray(t), bonds, angles, tors))
+        return xyz
+
+    return xyz_to_bat_fn, bat_to_xyz_fn

@@ -237,6 +237,46 @@ def test_sampler_dp_sp_constrained_matches_single_device(ligand):
 
 
 @pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_bat_jax_matches_numpy(ligand):
+    """The jnp BAT converters (device path for genetic-MC proposal
+    batches) must match the NumPy reference implementation to f64
+    round-off, on the real ligand and on perturbed conformations."""
+    from openmmgridforce_tpu.sampling.bat import make_jax_converters
+    top, crd = ligand
+    z, primary = build_zmatrix(top.masses, [tuple(b) for b in top.bond_idx])
+    x2b, b2x = make_jax_converters(z, primary)
+
+    confs = [crd]
+    b0 = xyz_to_bat(crd, z, primary)
+    n = len(z)
+    for s in range(3):   # torsion-perturbed conformations
+        b = b0.copy()
+        b[9 + 2 * n:] += RNG.uniform(-1.5, 1.5, n)
+        confs.append(bat_to_xyz(b, z, primary))
+
+    for xyz in confs:
+        want_b = xyz_to_bat(xyz, z, primary)
+        got_b = np.asarray(x2b(jnp.asarray(xyz, jnp.float64)))
+        # torsions compare modulo 2*pi
+        np.testing.assert_allclose(got_b[:9 + 2 * n],
+                                   want_b[:9 + 2 * n], atol=1e-12)
+        d = ((got_b[9 + 2 * n:] - want_b[9 + 2 * n:] + np.pi)
+             % (2 * np.pi)) - np.pi
+        np.testing.assert_allclose(d, 0.0, atol=1e-12)
+        back = np.asarray(b2x(jnp.asarray(want_b, jnp.float64)))
+        np.testing.assert_allclose(back, bat_to_xyz(want_b, z, primary),
+                                   atol=1e-12)
+        np.testing.assert_allclose(back, xyz, atol=1e-8)
+
+    # vmapped batch = stacked singles
+    batch = jnp.asarray(np.stack(confs), jnp.float64)
+    bats = np.asarray(jax.vmap(x2b)(batch))
+    for i, xyz in enumerate(confs):
+        np.testing.assert_allclose(bats[i],
+                                   np.asarray(x2b(batch[i])), atol=0)
+
+
 def test_genetic_sweep_batched_bookkeeping(ligand):
     """genetic_sweep batches candidate energies into one dispatch; its
     acceptance bookkeeping must be self-consistent: every accepted
