@@ -222,8 +222,11 @@ class _GridBindingInfo:
 class Platform:
     """Mirror of openmm.Platform. ``Reference`` selects the reference
     platform's evaluation semantics (quirks Q1-Q5, Q12 — see
-    ops/reference_semantics.py); anything else (or None) selects the
-    engine's default CUDA/common-convention kernels."""
+    ops/reference_semantics.py); ``Common``/``OpenCL`` selects the
+    portable kernel's semantics (quirk Q6 scaled OOB restraint force,
+    bare-pow inverse power, trilinear/B-spline only — see
+    ops/common_semantics.py); anything else (or None) selects the
+    engine's default CUDA-convention kernels."""
 
     def __init__(self, name):
         self._name = name
@@ -244,8 +247,10 @@ class Context:
         integrator._context = self
         name = (platform.getName() if hasattr(platform, "getName")
                 else platform)
-        self._semantics = ("reference"
-                           if str(name).lower() == "reference" else "cuda")
+        name = str(name).lower()
+        self._semantics = ("reference" if name == "reference"
+                           else "common" if name in ("common", "opencl")
+                           else "cuda")
         self._positions: Optional[jax.Array] = None
         self._velocities: Optional[jax.Array] = None
         self._key = jax.random.PRNGKey(seed)
@@ -336,7 +341,8 @@ class Context:
                 region_shape=(force.getStreamRegionShape()
                               or (64, 64, 64)),
                 budget_bytes=force.getMemoryBudgetMB() * 1024 * 1024,
-                oob_k=force.getOutOfBoundsRestraint())
+                oob_k=force.getOutOfBoundsRestraint(),
+                oob_convention=force.getTiledOOBConvention())
             grid = None
         # auto grid generation (reference :212-278)
         elif force.getAutoGenerateGrid() and force.getNumGridValues() == 0:
@@ -482,6 +488,12 @@ class Context:
                     from ..ops.reference_semantics import (
                         evaluate_grid_reference)
                     res = evaluate_grid_reference(
+                        info.grid if override is None else override,
+                        positions[info.atom_indices],
+                        info.scaling)
+                elif self._semantics == "common":
+                    from ..ops.common_semantics import evaluate_grid_common
+                    res = evaluate_grid_common(
                         info.grid if override is None else override,
                         positions[info.atom_indices],
                         info.scaling)

@@ -317,6 +317,19 @@ class GridForce(Force):
     def getMemoryBudgetMB(self):
         return self._memory_budget_mb
 
+    def setTiledOOBConvention(self, convention):
+        """Out-of-bounds restraint convention for tiled-file evaluation:
+        "reference" (default, E = 1/2 k d^2) or "cuda-tiled" (the
+        reference CUDA tiled kernel's quirk Q7: E = k d^2, F = -2k dev,
+        gridForceTiled.cu:522-550). Opt-in — the engine does not
+        reproduce the tiled/non-tiled inconsistency by default."""
+        if convention not in ("reference", "cuda-tiled"):
+            raise ValueError(f"unknown convention {convention!r}")
+        self._tiled_oob_convention = convention
+
+    def getTiledOOBConvention(self):
+        return getattr(self, "_tiled_oob_convention", "reference")
+
     def setStreamRegionShape(self, nx, ny, nz):
         """TPU-era extension (no reference equivalent): the fixed
         region shape (grid points per axis) streamed to the device for

@@ -72,7 +72,19 @@ class StreamedGridEvaluator:
     def __init__(self, path, interp_method=InterpolationMethod.TRILINEAR,
                  region_shape=(64, 64, 64), budget_bytes: int = 2 << 30,
                  inv_power_mode=None, inv_power=None,
-                 oob_k: float = DEFAULT_OOB_K):
+                 oob_k: float = DEFAULT_OOB_K,
+                 oob_convention: str = "reference"):
+        """``oob_convention``: "reference" (default) applies the
+        standard out-of-bounds restraint E = 1/2 k d^2, F = -k dev;
+        "cuda-tiled" reproduces the reference's TILED kernel quirk Q7
+        (E = k d^2, F = -2 k dev — exactly a doubled stiffness;
+        platforms/cuda/src/kernels/gridForceTiled.cu:522-550, vs the
+        1/2 k d^2 of the non-tiled gridForce.cu:479)."""
+        if oob_convention not in ("reference", "cuda-tiled"):
+            raise ValueError(f"unknown oob_convention {oob_convention!r}")
+        if oob_convention == "cuda-tiled":
+            oob_k = 2.0 * oob_k
+        self.oob_convention = oob_convention
         self.stream = NativeTileStream(path, budget_bytes)
         self.interp_method = int(interp_method)
         # never read beyond the grid: clamp the region per axis
