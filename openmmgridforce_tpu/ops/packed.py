@@ -273,6 +273,12 @@ def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
     return coeffs.reshape(ncx * ncy * ncz, K)
 
 
+@partial(jax.jit, donate_argnums=0)
+def _write_rows(out, part, row, col):
+    """In-place (donated) write of a row-block at (row, col)."""
+    return jax.lax.dynamic_update_slice(out, part, (row, col))
+
+
 def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
               poly_basis: str | None = None) -> PackedGrid:
     """Precompute per-cell polynomial coefficients for a Grid.
@@ -382,13 +388,21 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
                                    inv_power=grid.inv_power,
                                    counts=grid.counts)
             return postprocess(out)
-        d_np = np.asarray(data)
-        parts = []
+        # slabs STAY ON DEVICE (downloading packed slabs through a
+        # tunneled backend costs minutes per GB) and are written into a
+        # preallocated table with donated dynamic_update_slice: the
+        # transient peak is the final pack plus ONE slab (a device-side
+        # concatenate would briefly need 2x, and the TPU compiler
+        # crashes outright on multi-GB concatenates)
+        K = degree ** 3
+        out = jnp.zeros((ncx * ncy * ncz, K), dtype)
+        row = 0
         for c0 in range(0, ncx, x_chunk):
             c1 = min(c0 + x_chunk, ncx)
-            parts.append(np.asarray(postprocess(
-                pack_slab(d_np, c0, c1))))
-        return jnp.asarray(np.concatenate(parts, axis=0))
+            part = postprocess(pack_slab(data, c0, c1))
+            out = _write_rows(out, part, row, 0)
+            row += part.shape[0]
+        return out
 
     if poly_basis == "chebyshev" and not jax.config.jax_enable_x64:
         # the conditioning win requires the pack contraction in f64;
@@ -537,13 +551,24 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
     G = len(packed_grids)
     K = first.coeffs.shape[-1]
     ncells = first.coeffs.shape[0]
-    flat = jnp.concatenate([p.coeffs for p in packed_grids], axis=-1)
     width = G * K
     padded = -(-width // lane_pad) * lane_pad
-    if padded != width:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((ncells, padded - width), flat.dtype)],
-            axis=-1)
+
+    # write each pack into a preallocated padded table with
+    # dynamic_update_slice: a lane-axis concatenate of multi-GB tables
+    # crashes the TPU compiler at canonical grid sizes (observed:
+    # 2 x [13.2M, 64] f32 -> HTTP 500 tpu_compile_helper exit 1), while
+    # the same-size DUS program compiles and runs in under a second
+    @jax.jit
+    def fuse(*coeffs):
+        out = jnp.zeros((ncells, padded), coeffs[0].dtype)
+        off = 0
+        for c in coeffs:
+            out = jax.lax.dynamic_update_slice(out, c, (0, off))
+            off += c.shape[-1]
+        return out
+
+    flat = fuse(*[p.coeffs for p in packed_grids])
     return MultiPackedGrid(
         coeffs=flat,
         spacing=first.spacing,
@@ -554,6 +579,92 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
         back_powers=tuple(p.back_power for p in packed_grids),
         oob_k=first.oob_k,
         poly_basis=first.poly_basis,
+    )
+
+
+def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
+                     lane_pad: int = 64) -> MultiPackedGrid:
+    """Pack co-located value-method grids DIRECTLY into one fused row
+    table, slab by slab — the canonical-scale fusion path.
+
+    ``combine_packed_grids`` needs every per-grid pack resident plus the
+    fused output (2x the fused table in HBM); at the reference's
+    canonical grid (13.2M cells, 3.4 GB per B-spline pack) that peak
+    does not fit a 16 GB chip alongside anything else. Here each grid's
+    slabs are written straight into the preallocated fused table with
+    donated dynamic_update_slice, so the peak is the fused table plus
+    ONE slab.
+
+    ``lane_pad`` defaults to 64 (not 128): gathers are priced per
+    128-lane tile, so a 3-grid B-spline row of 192 floats costs the
+    same two tiles padded to 256 or not — padding past the next
+    64-boundary only burns HBM. Value-based methods only (Hermite f32
+    packs contract in f64 on the CPU backend — see pack_grid)."""
+    first = grids[0]
+    method = first.interp_method
+    if method not in (InterpolationMethod.TRILINEAR,
+                      InterpolationMethod.BSPLINE):
+        raise ValueError(
+            "pack_grids_fused handles value-based methods only "
+            "(trilinear / B-spline); pack Hermite grids with "
+            "pack_grid + combine_packed_grids")
+    for g in grids[1:]:
+        if (g.counts != first.counts or g.interp_method != method
+                or g.oob_k != first.oob_k):
+            raise ValueError(
+                "grids must share counts/method/oob_k to fuse")
+    dtype = dtype or first.vals.dtype
+    nx, ny, nz = first.counts
+    ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
+    ncells = ncx * ncy * ncz
+    degree = 2 if method == InterpolationMethod.TRILINEAR else 4
+    K = degree ** 3
+    G = len(grids)
+    width = G * K
+    padded = -(-width // lane_pad) * lane_pad
+    if x_chunk is None:
+        x_chunk = ncx if ncells <= 2_000_000 else 64
+    _value_axis_matrix(int(method))     # warm cache outside any trace
+
+    out = jnp.zeros((ncells, padded), dtype)
+    back_powers = []
+    for gi, g in enumerate(grids):
+        back_powers.append(
+            g.inv_power
+            if (g.inv_power_mode in (InvPowerMode.RUNTIME,
+                                     InvPowerMode.STORED)
+                and g.inv_power != 0.0) else 0.0)
+        runtime_inv = (g.inv_power_mode == InvPowerMode.RUNTIME
+                       and g.inv_power != 0.0)
+        data = g.vals
+        row = 0
+        for c0 in range(0, ncx, x_chunk):
+            c1 = min(c0 + x_chunk, ncx)
+            n_slab = c1 - c0
+            if method == InterpolationMethod.BSPLINE:
+                lo = max(c0 - 1, 0)
+                hi = min(c1 + 3, nx)
+                sl = jnp.asarray(data[lo:hi], dtype=dtype)
+                sl = jnp.pad(sl, ((lo - (c0 - 1), (c1 + 3) - hi),
+                                  (1, 2), (1, 2)), mode="edge")
+            else:
+                sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+            part = _pack_values_padded(
+                sl, method=int(method), runtime_inv=runtime_inv,
+                inv_power=g.inv_power, ncells=(n_slab, ncy, ncz))
+            out = _write_rows(out, part, row, gi * K)
+            row += part.shape[0]
+
+    return MultiPackedGrid(
+        coeffs=out,
+        spacing=jnp.asarray(first.spacing, dtype=dtype),
+        origin=jnp.asarray(first.origin, dtype=dtype),
+        counts=first.counts,
+        degree=degree,
+        n_grids=G,
+        back_powers=tuple(back_powers),
+        oob_k=first.oob_k,
+        poly_basis="monomial",
     )
 
 
@@ -823,13 +934,21 @@ def combine_hermite_packed(hps, lane_pad: int = 128
     G = len(hps)
     K = first.coeffs.shape[-1]
     ncells = first.coeffs.shape[0]
-    flat = jnp.concatenate([p.coeffs for p in hps], axis=-1)
     width = G * K
     padded = -(-width // lane_pad) * lane_pad
-    if padded != width:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((ncells, padded - width), flat.dtype)],
-            axis=-1)
+
+    # lane-axis concatenates of multi-GB tables crash the TPU compiler
+    # (see combine_packed_grids); assemble with dynamic_update_slice
+    @jax.jit
+    def fuse(*coeffs):
+        out = jnp.zeros((ncells, padded), coeffs[0].dtype)
+        off = 0
+        for c in coeffs:
+            out = jax.lax.dynamic_update_slice(out, c, (0, off))
+            off += c.shape[-1]
+        return out
+
+    flat = fuse(*[p.coeffs for p in hps])
     return MultiHermitePackedGrid(
         coeffs=flat, spacing=first.spacing, origin=first.origin,
         counts=first.counts, method=first.method, n_grids=G,

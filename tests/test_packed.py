@@ -348,3 +348,44 @@ class TestChebyshevBasis:
         np.testing.assert_allclose(np.asarray(got_s.per_atom_energy),
                                    np.asarray(got.per_atom_energy),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_pack_grids_fused_matches_combine():
+    """pack_grids_fused (direct slab assembly into the fused table —
+    the canonical-scale path that avoids the combine-time 2x HBM peak
+    and the TPU compiler's multi-GB lane-concatenate crash) must produce
+    the same evaluation as pack_grid + combine_packed_grids, chunked or
+    not, at any lane_pad."""
+    from openmmgridforce_tpu.ops.gridgen import generate_grid
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                evaluate_multi, pack_grid,
+                                                pack_grids_fused)
+
+    rng = np.random.default_rng(9)
+    rec = rng.uniform(0.1, 0.9, (10, 3))
+    gs = [generate_grid((12, 10, 11), (0.09, 0.1, 0.08), (0.0,) * 3, t,
+                        rec, rng.uniform(-0.4, 0.4, 10),
+                        np.full(10, 0.3), np.full(10, 0.5),
+                        interp_method=InterpolationMethod.BSPLINE,
+                        dtype=np.float64)
+          for t in ("charge", "ljr", "lja")]
+    ref = combine_packed_grids([pack_grid(g) for g in gs])
+    pos = rng.uniform(0.05, 0.7, (25, 3))
+    s = rng.uniform(-1.0, 1.0, (3, 25))
+    want = evaluate_multi(ref, pos, s)
+    for kw in ({}, {"x_chunk": 3}, {"lane_pad": 128}):
+        multi = pack_grids_fused(gs, **kw)
+        assert multi.coeffs.shape[0] == ref.coeffs.shape[0]
+        got = evaluate_multi(multi, pos, s)
+        np.testing.assert_allclose(np.asarray(got.per_atom_energy),
+                                   np.asarray(want.per_atom_energy),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.forces),
+                                   np.asarray(want.forces),
+                                   rtol=0, atol=1e-11)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="value-based"):
+        import dataclasses
+        pack_grids_fused([dataclasses.replace(
+            gs[0], interp_method=InterpolationMethod.TRICUBIC)])
