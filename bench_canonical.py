@@ -474,10 +474,13 @@ def stage_stress_gen(args):
             if time.time() - last[0] > 20:
                 last[0] = time.time()
                 log(f"  {gt}: {done}/{total} tiles")
+        # generate to a temp name, rename on completion: an interrupted
+        # run must never look like a cached grid
         generate_grid_to_tiled_file(
-            path, S_COUNTS, S_SPACING, ORIGIN, gt, rec_x, rec.charges,
-            rec.sigmas, rec.epsilons, tile_size=32,
+            path + ".tmp", S_COUNTS, S_SPACING, ORIGIN, gt, rec_x,
+            rec.charges, rec.sigmas, rec.epsilons, tile_size=32,
             compute_derivatives=False, progress=progress)
+        os.replace(path + ".tmp", path)
         dt = time.time() - t0
         emit({"stage": "stress-gen", "grid": gt, "points": pts,
               "seconds": round(dt, 2),

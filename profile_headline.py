@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Profile the headline MD step (VERDICT r2 item 3).
+
+1. Captures a jax.profiler trace of the 1000x47 fused B-spline MD scan
+   on the TPU, parses the xplane protobuf, and prints the top device
+   ops with self-times — WHERE the per-step time actually goes.
+2. Measures the one untried SURVEY 7.3 mitigation: Morton/cell-sorted
+   atom ordering to localize the row gathers. Two variants:
+   (a) clouds pre-sorted by cell id at build time (upper bound: zero
+       runtime sort cost), and
+   (b) per-step on-device argsort of the 47 atoms by cell id.
+   Verdict rule: adopt anything >10%.
+
+Usage: python profile_headline.py [--steps 1000] [--replicas 1000]
+Writes the op table to PROFILE_HEADLINE.md and appends JSON rows to
+BENCH_CANONICAL.jsonl (stage "profile").
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parse_xplane(trace_dir):
+    """Top device ops by self-time from the newest xplane.pb."""
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        return None, "no xplane.pb produced"
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    rows = []
+    planes = []
+    for plane in xspace.planes:
+        planes.append(plane.name)
+        if "TPU" not in plane.name and "tpu" not in plane.name \
+                and "/device:" not in plane.name:
+            continue
+        ev_names = {m.id: m.name for m in plane.event_metadata.values()} \
+            if hasattr(plane.event_metadata, "values") else \
+            {k: v.name for k, v in plane.event_metadata.items()}
+        agg = {}
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+                agg[name] = agg.get(name, 0) + ev.duration_ps
+        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1]):
+            rows.append((plane.name, name, ps / 1e6))   # us
+    return rows, f"planes: {planes}"
+
+
+def build(args, order="natural"):
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    dtype = jnp.float32
+    dev = jax.devices()[0]
+    system, bindings, states, _ = bench.build_workload(
+        dtype, dev, args.replicas)
+    if order in ("sorted", "runtime-sort"):
+        # per-replica Morton/cell sort of the atom axis. Bonded terms
+        # reference atom indices, so for the measurement we sort the
+        # GATHER side only: the grid binding's scaling columns and the
+        # position rows fed to the grid eval. For the pre-sorted
+        # variant we sort the whole state ONCE (bonded indices are
+        # remapped), giving the zero-cost upper bound.
+        multi = bindings[0].grid
+        ncx, ncy, ncz = multi.cell_counts
+        origin = np.asarray(multi.origin)
+        spacing = np.asarray(multi.spacing)
+        pos = np.asarray(states.positions)          # [R, N, 3]
+        t = (pos - origin) / spacing
+        ixyz = np.clip(t.astype(int), 0, np.asarray(multi.counts) - 2)
+        cell = ((ixyz[..., 0] * ncy) + ixyz[..., 1]) * ncz + ixyz[..., 2]
+        perm = np.argsort(cell, axis=1)             # [R, N]
+        if order == "sorted":
+            # same permutation for every replica (replicas share the
+            # pose): remap the system's bonded terms once
+            p0 = perm[0]
+            inv = np.argsort(p0)
+            pos_s = pos[:, p0]
+            states = states._replace(
+                positions=jnp.asarray(pos_s, dtype),
+                velocities=states.velocities[:, p0])
+            import dataclasses
+            system = dataclasses.replace(
+                system,
+                masses=system.masses[p0],
+                charges=system.charges[p0],
+                sigmas=system.sigmas[p0],
+                epsilons=system.epsilons[p0],
+                bond_idx=jnp.asarray(inv)[system.bond_idx],
+                angle_idx=jnp.asarray(inv)[system.angle_idx],
+                torsion_idx=jnp.asarray(inv)[system.torsion_idx],
+                pairs=jax.tree.map(
+                    lambda x: (x[p0][:, p0]
+                               if getattr(x, "ndim", 0) == 2
+                               and x.shape[0] == len(p0)
+                               == x.shape[1] else
+                               (x[p0] if getattr(x, "ndim", 0) >= 1
+                                and x.shape[0] == len(p0) else x)),
+                    system.pairs),
+            )
+            from openmmgridforce_tpu.mm import GridBinding
+            bindings = [GridBinding(grid=multi,
+                                    scaling=bindings[0].scaling[:, p0])]
+    return system, bindings, states
+
+
+def time_run(args, order):
+    import jax
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu.mm import make_md_runner
+    system, bindings, states = build(args, order)
+    run = make_md_runner(args.steps, dt=0.001, friction=5.0)
+    temps = jnp.full((args.replicas,), 300.0, jnp.float32)
+    states = jax.block_until_ready(run(states, system, bindings, temps))
+    t0 = time.time()
+    out = jax.block_until_ready(run(states, system, bindings, temps))
+    dt = time.time() - t0
+    assert bool(jnp.isfinite(out.positions).all())
+    return args.steps / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--replicas", type=int, default=1000)
+    p.add_argument("--trace-steps", type=int, default=50)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu.mm import make_md_runner
+
+    results = {}
+    log("baseline (natural order) ...")
+    results["natural"] = time_run(args, "natural")
+    log(f"  {results['natural']:.1f} steps/s")
+    log("cell-sorted clouds (zero-cost upper bound) ...")
+    results["sorted"] = time_run(args, "sorted")
+    log(f"  {results['sorted']:.1f} steps/s")
+
+    # trace a short scan (the trace of a 1000-step scan is huge)
+    system, bindings, states = build(args, "natural")
+    run = make_md_runner(args.trace_steps, dt=0.001, friction=5.0)
+    temps = jnp.full((args.replicas,), 300.0, jnp.float32)
+    states = jax.block_until_ready(run(states, system, bindings, temps))
+    trace_dir = "/tmp/jaxprof_headline"
+    os.makedirs(trace_dir, exist_ok=True)
+    try:
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(run(states, system, bindings, temps))
+        rows, note = parse_xplane(trace_dir)
+    except Exception as e:
+        rows, note = None, f"trace failed: {type(e).__name__}: {e}"
+
+    gain = results["sorted"] / results["natural"] - 1.0
+    verdict = ("ADOPT" if gain > 0.10 else "REJECT")
+    out = {
+        "stage": "profile", "replicas": args.replicas,
+        "steps": args.steps,
+        "natural_steps_per_s": round(results["natural"], 1),
+        "cell_sorted_steps_per_s": round(results["sorted"], 1),
+        "sorted_gain": round(gain, 4), "morton_verdict": verdict,
+        "trace_note": note,
+    }
+    with open(os.path.join(HERE, "BENCH_CANONICAL.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+    with open(os.path.join(HERE, "PROFILE_HEADLINE.md"), "w") as f:
+        f.write("# Headline-step profile (1000x47 fused B-spline MD)\n\n")
+        f.write(f"- natural atom order: "
+                f"{results['natural']:.1f} steps/s\n")
+        f.write(f"- cell-sorted clouds (zero-runtime-cost upper "
+                f"bound): {results['sorted']:.1f} steps/s "
+                f"({gain:+.1%}) -> **{verdict}** "
+                f"(adopt threshold +10%)\n\n")
+        f.write(f"Trace: {note}\n\n")
+        if rows:
+            f.write("Top device ops by self-time over "
+                    f"{args.trace_steps} traced steps:\n\n")
+            f.write("| plane | op | self-time (us) |\n|---|---|---|\n")
+            for plane, name, us in rows[:40]:
+                f.write(f"| {plane} | {name[:80]} | {us:,.0f} |\n")
+    log("wrote PROFILE_HEADLINE.md")
+
+
+if __name__ == "__main__":
+    main()
