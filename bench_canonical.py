@@ -501,7 +501,18 @@ def stage_stress_md(args):
     dtype = np.float32
     lig = load_prmtop(f"{DATA}/ligand.prmtop")
     crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
-    rshape = (args.region,) * 3
+    if args.region > 0:
+        rshape = (args.region,) * 3
+    else:
+        # auto-size: at 0.005 nm the ligand cloud alone spans ~(124,
+        # 299, 181) cells, so regions are anisotropic — cloud extent
+        # + B-spline halo (1+2) + ``margin`` cells of drift headroom
+        # per side
+        span = crd.max(0) - crd.min(0)
+        need = np.ceil(span / np.asarray(S_SPACING)).astype(int) + 1 + 3
+        rshape = tuple(int(n + 2 * args.margin) for n in need)
+    log(f"region shape {rshape} "
+        f"({np.prod(np.array(rshape) - 1) / 1e6:.1f}M cells)")
     evs = [StreamedGridEvaluator(stress_path(gt),
                                  InterpolationMethod.BSPLINE,
                                  region_shape=rshape)
@@ -524,8 +535,17 @@ def stage_stress_md(args):
     states = init_replica_states(jax.random.PRNGKey(0),
                                  jnp.asarray(crd, dtype), system.masses,
                                  300.0, args.replicas)
-    md = StreamedBatchMD(evs, scals, system, dt=args.dt_fs * 1e-3,
-                         friction=5.0, refresh_steps=args.refresh)
+    # two pair-fused sets instead of one 3-grid set: a 3-grid B-spline
+    # row is 192 floats -> a ~7.4 GB fused table at this region size,
+    # over the tunneled device's ~7.2 GB compiled-buffer limit; split
+    # (charge+ljr | lja) gives 128- and 64-float rows (~4.9 + 2.5 GB)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    big = 12 << 30
+    sets = [StreamSet(evs[:2], scals[:2], pack_budget_bytes=big),
+            StreamSet(evs[2:], scals[2:], pack_budget_bytes=big)]
+    md = StreamedBatchMD(sets=sets, system=system,
+                         dt=args.dt_fs * 1e-3, friction=5.0,
+                         refresh_steps=args.refresh)
     t0 = time.time()
     states = md.run(states, 300.0, args.warm)
     log(f"warmup {args.warm} steps: {time.time() - t0:.1f}s")
@@ -534,7 +554,7 @@ def stage_stress_md(args):
     dt = time.time() - t0
     assert bool(jnp.isfinite(np.asarray(states.positions)).all())
     emit({"stage": "stress-md", "method": "bspline-streamed",
-          "replicas": args.replicas, "region_shape": args.region,
+          "replicas": args.replicas, "region_shape": list(rshape),
           "refresh_steps": args.refresh, "dt_fs": args.dt_fs,
           "steps_per_s": round(args.steps / dt, 1),
           "grid_points": int(np.prod(S_COUNTS)),
@@ -583,7 +603,10 @@ def main():
     sg.add_argument("--force", action="store_true")
     sm = sub.add_parser("stress-md")
     sm.add_argument("--replicas", type=int, default=100)
-    sm.add_argument("--region", type=int, default=176)
+    sm.add_argument("--region", type=int, default=0,
+                    help="cubic region edge; 0 = auto-size from the "
+                         "ligand cloud + --margin")
+    sm.add_argument("--margin", type=int, default=16)
     sm.add_argument("--refresh", type=int, default=100)
     sm.add_argument("--warm", type=int, default=100)
     sm.add_argument("--steps", type=int, default=1000)

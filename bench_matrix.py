@@ -139,7 +139,11 @@ def main():
         sp_d = (0.25,) * 3
     else:
         sp_v = (0.025,) * 3
-        sp_d = (0.05,) * 3
+        # Hermite rows at the SAME resolution as the value rows so the
+        # rows are comparable (VERDICT r2 item 7). 27-derivative storage
+        # is 28x a value grid (27 derivs + values) — at 0.025 nm that is
+        # ~181 MB/grid raw and ~4.4 GB for the fused triquintic pack.
+        sp_d = (float(os.environ.get("BENCH_DERIV_SPACING", "0.025")),) * 3
     counts_v = tuple(int(c) + 1 for c in
                      np.ceil((crd.max(0) + 1.0 - lo) / sp_v))
     counts_d = tuple(int(c) + 1 for c in
@@ -203,84 +207,100 @@ def main():
         rows.append((name, v, evals, note))
         return v
 
-    # --- B-spline (0.025 nm values) ------------------------------------
-    bsp = grids_v(InterpolationMethod.BSPLINE)
-    multi_b = combine_packed_grids([pack_grid(g) for g in bsp])
-    fused = [GridBinding(grid=multi_b, scaling=stack_scal)]
-    bench("bspline packed+fused", system, fused, 3)
-    bench("bspline packed+fused, HBonds(SHAKE/RATTLE)", system_hb, fused,
-          3)
-    bench("bspline packed+fused, r-RESPA(4x1fs)", system, fused, 3,
-          runner=respa_runner(n_steps // 4, 4), steps=n_steps // 4,
-          note="outer steps; grid kicked 4x less often")
+    # BENCH_ONLY=hermite re-runs just the Hermite section (e.g. after a
+    # derivative-resolution change); rows then publish to
+    # BENCH_MATRIX_PARTIAL.md for manual merging instead of overwriting
+    # the full matrix.
+    only = os.environ.get("BENCH_ONLY", "")
+
     # slow rows get shorter dispatches: at >30 ms/step the RTT share
     # is negligible and the tunnel kills ~minute-long single dispatches
     slow = min(200, n_steps)
-    bench("bspline direct (reference layout, 64-pt stencil)", system,
-          [GridBinding(grid=g, scaling=jnp.asarray(scalings[gt], dtype))
-           for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3,
-          steps=slow)
-    # out-of-core row: a 4x-bigger B-spline grid set (2.5 nm margin —
-    # the regime streaming exists for: grid >> cloud wander range)
-    # streamed from OMGTILE files, regions packed on read
-    # (mm.StreamedBatchMD)
-    import tempfile
 
-    from openmmgridforce_tpu.io import write_grid_tiled
-    from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
-    from openmmgridforce_tpu.mm import (StreamedBatchMD, load_inpcrd,
-                                        load_prmtop)
-    tdir = tempfile.mkdtemp(prefix="benchmatrix_tiles_")
-    s_margin = 0.4 if SMOKE else 2.5
-    s_lo = crd.min(0) - s_margin
-    s_counts = tuple(int(c) + 1 for c in np.ceil(
-        (crd.max(0) + s_margin - s_lo) / sp_v))
-    srec = load_prmtop(f"{DATA}/receptor.prmtop")
-    srec_crd = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
-    evs = []
-    for gt in ["charge", "ljr", "lja"]:
-        sg = gridgen.generate_grid(
-            s_counts, sp_v, tuple(s_lo), gt, srec_crd,
-            srec.charges, srec.sigmas, srec.epsilons,
-            interp_method=InterpolationMethod.BSPLINE,
-            backend="jnp" if SMOKE else "pallas",
-            dtype=dtype)
-        p = os.path.join(tdir, f"{gt}.tiled")
-        write_grid_tiled(p, sg, tile_size=32)
-        del sg
-        evs.append(StreamedGridEvaluator(p, InterpolationMethod.BSPLINE,
-                                         region_shape=(128, 128, 128)))
-    try:
-        # dt=0.5 fs: per-step cost is dt-independent, but the streamed
-        # path VALIDATES region containment each segment and a rare
-        # dt=1fs fusion blowup (one atom at ~80 nm/ps — the in-memory
-        # rows silently tolerate it) would abort the row
-        smd = StreamedBatchMD(
-            evs, [scalings[gt] for gt in ["charge", "ljr", "lja"]],
-            system, dt=0.0005, friction=5.0, refresh_steps=200)
-        t0 = time.time()
-        st = smd.run(states0, temps, 400)      # warm: compiles + regions
-        jax.block_until_ready(st.positions)
-        t1 = time.time()
-        st = smd.run(st, temps, 1000)
-        jax.block_until_ready(st.positions)
-        v = 1000 / (time.time() - t1)
-        name = "bspline streamed out-of-core (packed regions, 200-step segments)"
-        evals = v * n_replicas * n_atoms * 3
-        log(f"{name}: {v:,.1f} steps/s ({evals/1e6:,.1f}M atom-evals/s) "
-            f"[{time.time()-t0:.0f}s incl compile]")
-        rows.append((name, v, evals,
-                     "4.2x-bigger grid on disk; dt=0.5fs (validated "
-                     "containment)"))
-    except RuntimeError as e:        # region crossing (charge fusion)
-        log(f"streamed row skipped: {e}")
-    for ev in evs:
-        ev.close()
-    del multi_b, fused, bsp
+    # --- B-spline (0.025 nm values) ------------------------------------
+    def bspline_section():
+        bsp = grids_v(InterpolationMethod.BSPLINE)
+        multi_b = combine_packed_grids([pack_grid(g) for g in bsp])
+        fused = [GridBinding(grid=multi_b, scaling=stack_scal)]
+        bench("bspline packed+fused", system, fused, 3)
+        bench("bspline packed+fused, HBonds(SHAKE/RATTLE)", system_hb,
+              fused, 3)
+        bench("bspline packed+fused, r-RESPA(4x1fs)", system, fused, 3,
+              runner=respa_runner(n_steps // 4, 4), steps=n_steps // 4,
+              note="outer steps; grid kicked 4x less often")
+        bench("bspline direct (reference layout, 64-pt stencil)", system,
+              [GridBinding(grid=g,
+                           scaling=jnp.asarray(scalings[gt], dtype))
+               for g, gt in zip(bsp, ["charge", "ljr", "lja"])], 3,
+              steps=slow)
+        # out-of-core row: a 4x-bigger B-spline grid set (2.5 nm margin —
+        # the regime streaming exists for: grid >> cloud wander range)
+        # streamed from OMGTILE files, regions packed on read
+        # (mm.StreamedBatchMD)
+        import tempfile
 
-    # --- Hermite methods (0.05 nm, 27 derivatives) ---------------------
-    for method, mname in ((InterpolationMethod.TRICUBIC, "tricubic"),
-                          (InterpolationMethod.TRIQUINTIC, "triquintic")):
+        from openmmgridforce_tpu.io import write_grid_tiled
+        from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+        from openmmgridforce_tpu.mm import (StreamedBatchMD, load_inpcrd,
+                                            load_prmtop)
+        tdir = tempfile.mkdtemp(prefix="benchmatrix_tiles_")
+        s_margin = 0.4 if SMOKE else 2.5
+        s_lo = crd.min(0) - s_margin
+        s_counts = tuple(int(c) + 1 for c in np.ceil(
+            (crd.max(0) + s_margin - s_lo) / sp_v))
+        srec = load_prmtop(f"{DATA}/receptor.prmtop")
+        srec_crd = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
+        evs = []
+        for gt in ["charge", "ljr", "lja"]:
+            sg = gridgen.generate_grid(
+                s_counts, sp_v, tuple(s_lo), gt, srec_crd,
+                srec.charges, srec.sigmas, srec.epsilons,
+                interp_method=InterpolationMethod.BSPLINE,
+                backend="jnp" if SMOKE else "pallas",
+                dtype=dtype)
+            p = os.path.join(tdir, f"{gt}.tiled")
+            write_grid_tiled(p, sg, tile_size=32)
+            del sg
+            evs.append(StreamedGridEvaluator(
+                p, InterpolationMethod.BSPLINE,
+                region_shape=(128, 128, 128)))
+        try:
+            # dt=0.5 fs: per-step cost is dt-independent, but the
+            # streamed path VALIDATES region containment each segment
+            # and a rare dt=1fs fusion blowup (one atom at ~80 nm/ps —
+            # the in-memory rows silently tolerate it) would abort the
+            # row
+            smd = StreamedBatchMD(
+                evs, [scalings[gt] for gt in ["charge", "ljr", "lja"]],
+                system, dt=0.0005, friction=5.0, refresh_steps=200)
+            t0 = time.time()
+            st = smd.run(states0, temps, 400)  # warm: compiles + regions
+            jax.block_until_ready(st.positions)
+            t1 = time.time()
+            st = smd.run(st, temps, 1000)
+            jax.block_until_ready(st.positions)
+            v = 1000 / (time.time() - t1)
+            name = ("bspline streamed out-of-core (packed regions, "
+                    "200-step segments)")
+            evals = v * n_replicas * n_atoms * 3
+            log(f"{name}: {v:,.1f} steps/s ({evals/1e6:,.1f}M "
+                f"atom-evals/s) [{time.time()-t0:.0f}s incl compile]")
+            rows.append((name, v, evals,
+                         "4.2x-bigger grid on disk; dt=0.5fs (validated "
+                         "containment)"))
+        except RuntimeError as e:    # region crossing (charge fusion)
+            log(f"streamed row skipped: {e}")
+        for ev in evs:
+            ev.close()
+
+    if only in ("", "bspline"):
+        bspline_section()
+
+    # --- Hermite methods (sp_d, 27 derivatives) ------------------------
+    for method, mname in (() if only not in ("", "hermite") else
+                          ((InterpolationMethod.TRICUBIC, "tricubic"),
+                           (InterpolationMethod.TRIQUINTIC,
+                            "triquintic"))):
         gd = grids_d(method)
         packs = [pack_grid(g) for g in gd]
         multi = combine_packed_grids(packs)
@@ -311,15 +331,18 @@ def main():
         del gd
 
     # --- publish ---------------------------------------------------------
-    out = os.path.join(HERE, "BENCH_MATRIX.md")
+    out = os.path.join(HERE, "BENCH_MATRIX_PARTIAL.md" if only
+                       else "BENCH_MATRIX.md")
     with open(out, "w") as fh:
         fh.write("# Method-matrix benchmark (real TPU)\n\n")
         fh.write(f"Device: {dev}. {n_replicas} replicas x {n_atoms} "
                  f"atoms, classic Langevin dt=1 fs, "
                  f"{n_steps} timed steps (in-scan).\n"
                  f"B-spline rows: 0.025 nm value grids "
-                 f"({np.prod(counts_v):,} pts). Hermite rows: 0.05 nm "
-                 f"27-derivative grids ({np.prod(counts_d):,} pts).\n\n")
+                 f"({np.prod(counts_v):,} pts). Hermite rows: "
+                 f"{sp_d[0]} nm 27-derivative grids "
+                 f"({np.prod(counts_d):,} pts; 28x a value grid's "
+                 f"bytes at equal resolution).\n\n")
         fh.write("| configuration | MD steps/s/chip | grid atom-evals/s "
                  "| note |\n|---|---|---|---|\n")
         for name, v, evals, note in rows:

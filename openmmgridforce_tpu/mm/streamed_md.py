@@ -42,9 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..grid import InterpolationMethod
 from ..io.streaming import _HALO, StreamedGridEvaluator
 from ..ops.interpolate import evaluate_grid
-from ..ops.packed import combine_packed_grids, evaluate_multi, pack_grid
+from ..ops.packed import (combine_packed_grids, evaluate_multi, pack_grid,
+                          pack_grids_fused)
 from .integrators import MDState, make_langevin_step
 from .system import System, energy_and_forces
 
@@ -192,13 +194,23 @@ class StreamSet:
             grids.append(g)
             ilo = lo if ilo is None else np.maximum(ilo, lo)
             ihi = hi if ihi is None else np.minimum(ihi, hi)
+        method = int(grids[0].interp_method)
         ncells = int(np.prod(np.asarray(grids[0].counts) - 1))
-        kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[int(grids[0].interp_method)]
+        kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[method]
         width = len(grids) * kcoef
-        row = -(-width // 128) * 128      # combine pads lanes to 128
+        value_method = method in (int(InterpolationMethod.TRILINEAR),
+                                  int(InterpolationMethod.BSPLINE))
+        # value methods fuse slab-by-slab into a 64-lane-padded table
+        # (peak = table + one slab); Hermite packs go through per-grid
+        # pack + combine (128-lane rows, 2x-table peak)
+        row = (-(-width // 64) * 64 if value_method
+               else -(-width // 128) * 128)
         if ncells * row * 4 <= self.pack_budget:
-            built = (combine_packed_grids([pack_grid(g) for g in grids]),
-                     (ilo, ihi))
+            if value_method:
+                built = (pack_grids_fused(grids), (ilo, ihi))
+            else:
+                built = (combine_packed_grids(
+                    [pack_grid(g) for g in grids]), (ilo, ihi))
         else:
             built = (tuple(grids), (ilo, ihi))
         self._packed[key] = built

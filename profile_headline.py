@@ -34,16 +34,15 @@ def log(msg):
 
 
 def parse_xplane(trace_dir):
-    """Top device ops by self-time from the newest xplane.pb."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Top device ops by self-time from the newest xplane.pb
+    (jax.profiler.ProfileData; no tensorboard dependency)."""
+    from jax.profiler import ProfileData
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True),
         key=os.path.getmtime)
     if not paths:
         return None, "no xplane.pb produced"
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
+    xspace = ProfileData.from_file(paths[-1])
     rows = []
     planes = []
     for plane in xspace.planes:
@@ -51,16 +50,13 @@ def parse_xplane(trace_dir):
         if "TPU" not in plane.name and "tpu" not in plane.name \
                 and "/device:" not in plane.name:
             continue
-        ev_names = {m.id: m.name for m in plane.event_metadata.values()} \
-            if hasattr(plane.event_metadata, "values") else \
-            {k: v.name for k, v in plane.event_metadata.items()}
         agg = {}
         for line in plane.lines:
             for ev in line.events:
-                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                agg[name] = agg.get(name, 0) + ev.duration_ps
-        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1]):
-            rows.append((plane.name, name, ps / 1e6))   # us
+                us = (ev.end_ns - ev.start_ns) / 1e3
+                agg[ev.name] = agg.get(ev.name, 0.0) + us
+        for name, us in sorted(agg.items(), key=lambda kv: -kv[1]):
+            rows.append((plane.name, name, us))
     return rows, f"planes: {planes}"
 
 
