@@ -536,13 +536,18 @@ def stage_stress_md(args):
                                  jnp.asarray(crd, dtype), system.masses,
                                  300.0, args.replicas)
     # two pair-fused sets instead of one 3-grid set: a 3-grid B-spline
-    # row is 192 floats -> a ~7.4 GB fused table at this region size,
+    # row is 192 floats -> a ~8 GB fused table at this region size,
     # over the tunneled device's ~7.2 GB compiled-buffer limit; split
-    # (charge+ljr | lja) gives 128- and 64-float rows (~4.9 + 2.5 GB)
+    # (charge+ljr | lja) gives 128- and 64-float rows (~5.5 + 2.8 GB).
+    # Budget each set to hold exactly ONE resident pack (1.5x a pack):
+    # a crossing-retry straggler then runs direct-stencil instead of
+    # doubling a multi-GB pack footprint (HBM is 16 GB total).
     from openmmgridforce_tpu.mm.streamed_md import StreamSet
-    big = 12 << 30
-    sets = [StreamSet(evs[:2], scals[:2], pack_budget_bytes=big),
-            StreamSet(evs[2:], scals[2:], pack_budget_bytes=big)]
+    ncells = int(np.prod(np.asarray(rshape) - 1))
+    sets = [StreamSet(evs[:2], scals[:2],
+                      pack_budget_bytes=int(ncells * 128 * 4 * 1.5)),
+            StreamSet(evs[2:], scals[2:],
+                      pack_budget_bytes=int(ncells * 64 * 4 * 1.5))]
     md = StreamedBatchMD(sets=sets, system=system,
                          dt=args.dt_fs * 1e-3, friction=5.0,
                          refresh_steps=args.refresh)

@@ -134,11 +134,16 @@ class StreamSet:
         # co-located grids (one lane-padded row gather per atom — the
         # same fast path as in-memory MD; the direct stencil kernel is
         # ~100x slower per step). Packed rows are memory-hungry (64-216
-        # coeffs/cell/grid), so keep only a couple resident; regions
-        # whose fused pack would exceed ``pack_budget_bytes`` fall back
-        # to the direct stencil kernels on the raw region grids.
-        self._packed = {}
-        self.packed_regions = 4
+        # coeffs/cell/grid), so ``pack_budget_bytes`` bounds the TOTAL
+        # resident pack bytes: building a new pack first evicts
+        # least-recently-used packs not pinned by the current segment
+        # round, and a pack that still would not fit falls back to the
+        # direct stencil kernels on the raw region grids (slower, but
+        # never OOMs — e.g. a lone crossing-retry replica at stress
+        # scale must not double a multi-GB pack footprint).
+        self._packed = {}       # key -> (payload, interior)
+        self._packed_bytes = {}  # key -> resident device bytes
+        self._round_keys = set()  # keys pinned by the current round
 
     # --- geometry -------------------------------------------------------
     @property
@@ -175,14 +180,35 @@ class StreamSet:
         return ilo, ihi
 
     # --- region payloads ------------------------------------------------
+    def begin_round(self):
+        """Start a segment round: forget which packs are pinned."""
+        self._round_keys = set()
+
+    def _evict_until(self, room_for: int):
+        """Drop least-recently-used packs not pinned by the current
+        round until ``room_for`` more bytes fit the budget. Returns True
+        when they do."""
+        def resident():
+            return sum(self._packed_bytes.values())
+        for key in list(self._packed):
+            if resident() + room_for <= self.pack_budget:
+                break
+            if key in self._round_keys:
+                continue
+            self._packed.pop(key)
+            self._packed_bytes.pop(key)
+        return resident() + room_for <= self.pack_budget
+
     def payload(self, start):
         """Device payload for region ``start``: read each evaluator's
         region (through its device LRU), pack to per-cell coefficients
-        and fuse into one multi-grid row table — or, above the pack
-        budget, the tuple of raw region Grids for the direct stencil
-        kernels. Returns ``(payload, (interior_lo, interior_hi))``;
-        LRU-cached so hysteresis amortizes the pack cost."""
+        and fuse into one multi-grid row table — or, when the pack does
+        not fit the remaining budget, the tuple of raw region Grids for
+        the direct stencil kernels. Returns
+        ``(payload, (interior_lo, interior_hi))``; LRU-cached so
+        hysteresis amortizes the pack cost."""
         key = tuple(int(s) for s in start)
+        self._round_keys.add(key)
         hit = self._packed.get(key)
         if hit is not None:
             self._packed.pop(key)
@@ -205,17 +231,19 @@ class StreamSet:
         # pack + combine (128-lane rows, 2x-table peak)
         row = (-(-width // 64) * 64 if value_method
                else -(-width // 128) * 128)
-        if ncells * row * 4 <= self.pack_budget:
+        nbytes = ncells * row * 4
+        if self._evict_until(nbytes):
             if value_method:
                 built = (pack_grids_fused(grids), (ilo, ihi))
             else:
                 built = (combine_packed_grids(
                     [pack_grid(g) for g in grids]), (ilo, ihi))
+            self._packed[key] = built
+            self._packed_bytes[key] = nbytes
         else:
+            # raw grids live in the evaluators' own device LRUs; do not
+            # cache (nor count) them here
             built = (tuple(grids), (ilo, ihi))
-        self._packed[key] = built
-        while len(self._packed) > self.packed_regions:
-            self._packed.pop(next(iter(self._packed)))
         return built
 
     # --- assignment -----------------------------------------------------
@@ -519,10 +547,10 @@ class StreamedBatchMD:
         starts = [s.assign(bounds[si]) for si, s in enumerate(self.sets)]
         combo = np.hstack(starts)                         # [R, 3S]
         uniq, inverse = np.unique(combo, axis=0, return_inverse=True)
-        # never thrash the packed-region LRU: it must hold at least one
-        # entry per concurrent group
+        # a new round may pack fresh regions: unpin last round's packs
+        # (they stay cached until the budget needs the room)
         for s in self.sets:
-            s.packed_regions = max(s.packed_regions, uniq.shape[0])
+            s.begin_round()
 
         def group_payloads(u):
             payloads, interiors = [], []
@@ -541,8 +569,14 @@ class StreamedBatchMD:
             group_interiors = [interiors]
         else:
             perm, outs, bparts, group_interiors = [], [], [], []
-            for u in range(uniq.shape[0]):
-                idx = np.nonzero(inverse == u)[0]
+            # largest groups first: they claim the pack budget, so any
+            # direct-stencil fallback lands on the fewest replicas
+            group_idx = [np.nonzero(inverse == u)[0]
+                         for u in range(uniq.shape[0])]
+            order_u = sorted(range(uniq.shape[0]),
+                             key=lambda u: -len(group_idx[u]))
+            for u in order_u:
+                idx = group_idx[u]
                 payloads, interiors = group_payloads(u)
                 nb = 1 << (len(idx) - 1).bit_length()
                 pad = np.concatenate(

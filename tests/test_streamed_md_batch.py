@@ -174,3 +174,34 @@ def test_region_crossing_retry_recenters(tmp_path):
     assert np.array_equal(s2[1:], old[1:]), \
         "non-violators keep their regions"
     assert sset._recenter is None, "recenter request is one-shot"
+
+
+def test_pack_budget_total_fallback_matches(tmp_path):
+    """``pack_budget_bytes`` bounds the TOTAL resident pack bytes: with
+    room for exactly one region pack, the largest concurrent group packs
+    and every other group falls back to the direct stencil kernels —
+    trajectories must match the all-packed run (this is the stress-scale
+    OOM guard: a lone crossing-retry straggler must never double a
+    multi-GB pack footprint)."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+
+    one_pack = 25 ** 3 * 128 * 4     # ncells x padded(2x64) lanes x f32
+    md_small = StreamedBatchMD(
+        sets=[StreamSet(evs, scals,
+                        pack_budget_bytes=int(one_pack * 1.5))],
+        system=system, dt=0.0005, friction=2.0, refresh_steps=10)
+    got = md_small.run(states, 0.0, 30)   # T=0: deterministic
+    sset = md_small.sets[0]
+    assert len(sset._packed) == 1, "only one group may hold a pack"
+    assert sum(sset._packed_bytes.values()) <= int(one_pack * 1.5)
+
+    md_big = StreamedBatchMD(evs, scals, system, dt=0.0005,
+                             friction=2.0, refresh_steps=10)
+    want = md_big.run(states, 0.0, 30)
+    assert all(len(s._packed) > 1 for s in md_big.sets)
+    # packed-row vs direct-stencil evaluation differ only in f64
+    # contraction order
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(want.positions),
+                               rtol=0, atol=1e-6)
