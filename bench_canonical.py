@@ -612,10 +612,15 @@ def main():
                     help="cubic region edge; 0 = auto-size from the "
                          "ligand cloud + --margin")
     sm.add_argument("--margin", type=int, default=16)
-    sm.add_argument("--refresh", type=int, default=100)
+    # dt=0.25 fs / refresh=50: at 0.005 nm the capped wells are 2.5x
+    # steeper than canonical — dt=0.5 fs resonance-pumps fusion atoms
+    # past 25 nm/ps, outrunning any affordable region margin. Cost per
+    # step is dt-independent; segment drift tolerance is
+    # margin*spacing/(refresh*dt) = 6.4 nm/ps (4x that in retry chunks).
+    sm.add_argument("--refresh", type=int, default=50)
     sm.add_argument("--warm", type=int, default=100)
     sm.add_argument("--steps", type=int, default=1000)
-    sm.add_argument("--dt-fs", type=float, default=0.5)
+    sm.add_argument("--dt-fs", type=float, default=0.25)
     args = p.parse_args()
     {"gen": stage_gen, "parity": stage_parity, "md": stage_md,
      "derivs": stage_derivs, "accuracy": stage_accuracy,

@@ -266,6 +266,10 @@ class Context:
         # that engine (a Context is a batch of one replica), so both
         # paths share its running-bbox exactness guarantee.
         self.stream_refresh_steps = 50
+        # cap on the full-grid escalation payload for streamed MD (see
+        # mm.streamed_md.StreamSet); 0 disables escalation — a cloud
+        # that outruns every bounded region then raises instead
+        self.stream_full_region_budget_bytes = 4 << 30
         self._stream_engine = None
         self._min_segs: Dict[tuple, object] = {}
         self._initialize_forces()
@@ -635,7 +639,9 @@ class Context:
             StreamSet([i.streamer for i in infos],
                       [np.asarray(i.scaling) for i in infos],
                       atom_indices=np.asarray(infos[0].atom_indices),
-                      oob_k=sum(float(i.streamer.oob_k) for i in infos))
+                      oob_k=sum(float(i.streamer.oob_k) for i in infos),
+                      full_region_budget_bytes=int(
+                          self.stream_full_region_budget_bytes))
             for infos in groups.values()
         ]
 

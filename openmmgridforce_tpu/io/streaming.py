@@ -158,13 +158,15 @@ class StreamedGridEvaluator:
         corner = origin + (np.asarray(self.stream.counts) - 1) * spacing
         return origin, corner
 
-    def _build_region(self, start):
+    def _build_region(self, start, shape=None):
         """Read region ``start`` and return ``(grid, (ilo, ihi))`` —
         a device-ready :class:`Grid` plus its exact interior box."""
         start = np.asarray(start, dtype=int)
+        if shape is None:
+            shape = self.region_shape
         with_derivs = self.interp_method in (
             InterpolationMethod.TRICUBIC, InterpolationMethod.TRIQUINTIC)
-        vals, derivs = self.stream.read_region(start, self.region_shape,
+        vals, derivs = self.stream.read_region(start, shape,
                                                with_derivatives=with_derivs)
         spacing = np.asarray(self.stream.spacing)
         full_origin = np.asarray(self.stream.origin)
@@ -178,7 +180,7 @@ class StreamedGridEvaluator:
             inv_power=self.inv_power,
             oob_k=self.oob_k,
         )
-        return grid, self._interior_box(start)
+        return grid, self._interior_box(start, shape)
 
     def region_grid(self, positions):
         """Read the region covering ``positions`` and return
@@ -244,7 +246,7 @@ class StreamedGridEvaluator:
         return np.clip(mid - shape // 2, 0,
                        np.maximum(counts - shape, 0))
 
-    def _interior_box(self, start):
+    def _interior_box(self, start, shape=None):
         """(interior_lo, interior_hi) world box of region ``start`` —
         pure geometry, no file read (extends to the full-grid boundary
         wherever the region touches it)."""
@@ -253,13 +255,34 @@ class StreamedGridEvaluator:
         counts = np.asarray(self.stream.counts)
         lo_h, hi_h = _HALO[self.interp_method]
         start = np.asarray(start, dtype=int)
-        last = start + np.asarray(self.region_shape) - 1
+        if shape is None:
+            shape = self.region_shape
+        last = start + np.asarray(shape) - 1
         corner = origin + (counts - 1) * spacing
         interior_lo = np.where(start > 0,
                                origin + (start + lo_h) * spacing, origin)
         interior_hi = np.where(last < counts - 1,
                                origin + (last - hi_h) * spacing, corner)
         return interior_lo, interior_hi
+
+    def full_grid_bytes(self):
+        """Device bytes a full-grid payload would take (values, plus the
+        27 derivatives for Hermite methods)."""
+        per_pt = 28 if self.interp_method in (
+            InterpolationMethod.TRICUBIC,
+            InterpolationMethod.TRIQUINTIC) else 1
+        return int(np.prod(self.stream.counts)) * 4 * per_pt
+
+    def _full_region_cached(self):
+        """The WHOLE on-disk grid as one device-resident region — the
+        escalation payload for clouds no bounded region can contain
+        (e.g. a capped-well runaway transiting the box). Its interior
+        is the full grid box, so containment checks are vacuous; cached
+        separately from the region LRU."""
+        if getattr(self, "_full_region", None) is None:
+            self._full_region = self._build_region(
+                (0, 0, 0), tuple(int(c) for c in self.stream.counts))
+        return self._full_region
 
     def _region_cached(self, start):
         """Device-resident region LRU keyed by start (bounded by

@@ -102,9 +102,12 @@ class StreamSet:
     ReferenceGridForceKernels.cpp:1093-1117).
     """
 
+    _FULL = np.array([-1, -1, -1])   # sentinel region start: whole grid
+
     def __init__(self, evaluators: Sequence[StreamedGridEvaluator],
                  scalings, atom_indices=None, oob_k=None,
-                 pack_budget_bytes: int = 512 << 20):
+                 pack_budget_bytes: int = 512 << 20,
+                 full_region_budget_bytes: int = 4 << 30):
         if not evaluators:
             raise ValueError("need at least one evaluator")
         ev0 = evaluators[0]
@@ -144,6 +147,22 @@ class StreamSet:
         self._packed = {}       # key -> (payload, interior)
         self._packed_bytes = {}  # key -> resident device bytes
         self._round_keys = set()  # keys pinned by the current round
+        # FULL-GRID escalation: a replica whose cloud no bounded region
+        # can contain (a capped-well runaway transiting the box, or a
+        # crossing that persists through the retry ladder) is moved onto
+        # the whole on-disk grid as its "region" — direct-stencil
+        # evaluation, containment vacuously satisfied — and demoted back
+        # to a packed region once its cloud again fits one with margin.
+        # This is how the streamed path keeps the reference's
+        # every-step-exact guarantee for ANY trajectory (the reference
+        # re-prepares tiles each step, CudaGridForceKernels.cpp:888-975)
+        # while normal replicas stay on the packed fast path. Only
+        # allowed when the full grids fit ``full_region_budget_bytes``.
+        self.full_region_budget = int(full_region_budget_bytes)
+        self._full = None        # [R] bool: replica is on the full grid
+        self._calm = None        # [R] consecutive region-fitting rounds
+        self._full_pay = None
+        self.full_escalations = 0
 
     # --- geometry -------------------------------------------------------
     @property
@@ -199,15 +218,38 @@ class StreamSet:
             self._packed_bytes.pop(key)
         return resident() + room_for <= self.pack_budget
 
+    def can_escalate(self):
+        return (sum(ev.full_grid_bytes() for ev in self.evaluators)
+                <= self.full_region_budget)
+
+    def escalate(self, bad, n_rep):
+        """Move replicas ``bad`` onto the full-grid payload."""
+        if self._full is None or len(self._full) != n_rep:
+            self._full = np.zeros(n_rep, dtype=bool)
+        self._full[np.asarray(bad, dtype=int)] = True
+        self.full_escalations += len(np.asarray(bad))
+
+    def _full_payload(self):
+        if self._full_pay is None:
+            grids = [ev._full_region_cached()[0]
+                     for ev in self.evaluators]
+            lo, hi = self.full_box
+            self._full_pay = (tuple(grids),
+                              (np.asarray(lo), np.asarray(hi)))
+        return self._full_pay
+
     def payload(self, start):
         """Device payload for region ``start``: read each evaluator's
         region (through its device LRU), pack to per-cell coefficients
         and fuse into one multi-grid row table — or, when the pack does
         not fit the remaining budget, the tuple of raw region Grids for
-        the direct stencil kernels. Returns
+        the direct stencil kernels. The sentinel start ``(-1,-1,-1)``
+        returns the full-grid escalation payload. Returns
         ``(payload, (interior_lo, interior_hi))``; LRU-cached so
         hysteresis amortizes the pack cost."""
         key = tuple(int(s) for s in start)
+        if key == (-1, -1, -1):
+            return self._full_payload()
         self._round_keys.add(key)
         hit = self._packed.get(key)
         if hit is not None:
@@ -279,12 +321,28 @@ class StreamSet:
             np.floor((safe_hi - origin) / spacing).astype(int) + 1 + hi_h,
             0, counts - 1)
         need = cell_hi - cell_lo + 1
-        too_big = any_in & np.any(need > shape, axis=1)
+        if self._full is None or len(self._full) != n_rep:
+            self._full = np.zeros(n_rep, dtype=bool)
+        too_big = any_in & np.any(need > shape, axis=1) & ~self._full
         if np.any(too_big):
-            i = int(np.argmax(too_big))
-            raise ValueError(
-                f"replica {i}'s cloud needs region {tuple(need[i])} > "
-                f"configured {tuple(shape)}; enlarge region_shape")
+            if self.can_escalate():
+                self.escalate(np.nonzero(too_big)[0], n_rep)
+            else:
+                i = int(np.argmax(too_big))
+                raise ValueError(
+                    f"replica {i}'s cloud needs region {tuple(need[i])}"
+                    f" > configured {tuple(shape)}; enlarge region_shape")
+        # demote full-grid replicas whose cloud has fit a region with
+        # >= 8 spare cells per axis for 4 consecutive assignments (a
+        # runaway atom momentarily OUTSIDE the grid leaves a small
+        # in-grid bbox — instant demotion would churn escalations every
+        # time it transits back through)
+        fits = any_in & np.all(need <= shape - 16, axis=1)
+        if self._calm is None or len(self._calm) != n_rep:
+            self._calm = np.zeros(n_rep, dtype=int)
+        self._calm = np.where(fits, self._calm + 1, 0)
+        demote = self._full & fits & (self._calm >= 4)
+        self._full &= ~demote
         mid = (cell_lo + cell_hi + 1) // 2
         max_start = np.maximum(counts - shape, 0)
         centered = np.clip(mid - shape // 2, 0, max_start)
@@ -302,7 +360,11 @@ class StreamSet:
             if (self._recenter is not None
                     and len(self._recenter) == n_rep):
                 keep &= ~(self._recenter & any_in)
+            # a just-demoted replica's stored start is the -1 sentinel:
+            # always re-center it
+            keep &= ~demote
             starts = np.where(keep[:, None], self._starts, centered)
+        starts = np.where(self._full[:, None], self._FULL, starts)
         self._recenter = None
         self._starts = starts
         return starts
@@ -517,6 +579,17 @@ class StreamedBatchMD:
                                  base_args, k)
         except _RegionCrossing as rc:
             if depth >= 2 or k < 4:
+                # retry ladder exhausted: the cloud outruns any bounded
+                # region (a capped-well runaway) — move the violators
+                # onto the full-grid payload and re-run; they cannot
+                # violate again, so the recursion strictly shrinks
+                if all(s.can_escalate() for s in self.sets):
+                    n_rep = states.positions.shape[0]
+                    for s in self.sets:
+                        s.escalate(rc.bad, n_rep)
+                    return self._run_chunk(states, bounds, temps,
+                                           scal_args, base_args, k,
+                                           depth)
                 raise
             # drop the violators' hysteresis entries so the retry
             # actually RE-CENTERS their regions on the current clouds

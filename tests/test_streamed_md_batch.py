@@ -108,16 +108,58 @@ def test_streamed_batch_matches_in_memory(tmp_path):
 
 
 def test_streamed_batch_bounds_violation(tmp_path):
+    """With full-grid escalation disabled (budget 0), a cloud that
+    outruns its region must still raise."""
     system, grids, evs, scals, states = _setup(tmp_path)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
     # huge velocities: clouds outrun their regions within one segment
     states = MDState(
         positions=states.positions,
         velocities=jnp.full_like(states.positions, 80.0),
         key=states.key)
-    md = StreamedBatchMD(evs, scals, system, dt=0.001, friction=0.1,
-                         refresh_steps=20)
+    md = StreamedBatchMD(
+        sets=[StreamSet(evs, scals, full_region_budget_bytes=0)],
+        system=system, dt=0.001, friction=0.1, refresh_steps=20)
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         md.run(states, 0.0, 20)
+
+
+def test_streamed_batch_escalates_runaway_to_full_grid(tmp_path):
+    """By default a cloud that outruns every bounded region ESCALATES to
+    the whole-grid payload (direct stencil, containment vacuous) instead
+    of raising — the reference's tiled MD never fails either (it
+    re-prepares tiles every step). The trajectory must match the
+    in-memory run on the same grids."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    # one replica fired fast enough to outrun its region within the
+    # retry ladder; the rest stay tame
+    v = np.zeros_like(np.asarray(states.positions))
+    v[1] = 40.0
+    states = MDState(positions=states.positions,
+                     velocities=jnp.asarray(v, jnp.float64),
+                     key=states.key)
+    md = StreamedBatchMD(evs, scals, system, dt=0.001, friction=0.1,
+                         refresh_steps=20)
+    got = md.run(states, 0.0, 40)    # T=0: deterministic
+    assert all(s.full_escalations > 0 for s in md.sets)
+    assert np.isfinite(np.asarray(got.positions)).all()
+
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+    run_mem = make_md_runner(20, dt=0.001, friction=0.1)
+    fused = combine_packed_grids([pack_grid(g) for g in grids])
+    bindings = [GridBinding(grid=fused,
+                            scaling=jnp.asarray(np.stack(scals)))]
+    want = states
+    for _ in range(2):
+        want = run_mem(want, system, bindings,
+                       jnp.zeros((6,), jnp.float64))
+    # the runaway bounces off the discontinuous full-box restraint
+    # branch; compare the tame replicas tightly and the runaway loosely
+    tame = [0, 2, 3, 4, 5]
+    np.testing.assert_allclose(np.asarray(got.positions)[tame],
+                               np.asarray(want.positions)[tame],
+                               rtol=0, atol=1e-4)
 
 
 def test_streamed_batch_detects_self_reversing_excursion(tmp_path):
@@ -132,8 +174,10 @@ def test_streamed_batch_detects_self_reversing_excursion(tmp_path):
     states = MDState(positions=states.positions,
                      velocities=jnp.asarray(v, jnp.float64),
                      key=states.key)
-    md = StreamedBatchMD(evs, scals, system, dt=0.001, friction=0.2,
-                         refresh_steps=400)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    md = StreamedBatchMD(
+        sets=[StreamSet(evs, scals, full_region_budget_bytes=0)],
+        system=system, dt=0.001, friction=0.2, refresh_steps=400)
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         md.run(states, 0.0, 400)
 

@@ -193,8 +193,22 @@ def test_context_streamed_detects_self_reversing_excursion(tmp_path):
     ctx.setPositions(lig_x + 4.0)           # fully outside the grid
     ctx.setVelocities(np.zeros_like(lig_x))
     ctx.stream_refresh_steps = 400
+    # escalation off: the mid-segment excursion must RAISE
+    ctx.stream_full_region_budget_bytes = 0
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         ctx.getIntegrator().step(400)
+
+    # escalation on (default): the same trajectory completes, with the
+    # violator moved onto the full-grid payload
+    ctx2 = gfp.Context(system, gfp.LangevinIntegrator(0.0, 0.2, 0.001))
+    ctx2.setPositions(lig_x + 4.0)
+    ctx2.setVelocities(np.zeros_like(lig_x))
+    ctx2.stream_refresh_steps = 400
+    ctx2.getIntegrator().step(400)
+    eng = ctx2._ensure_stream_engine()
+    assert any(s.full_escalations > 0 for s in eng.sets)
+    pos = ctx2.getState(getPositions=True).getPositions(asNumpy=True)
+    assert np.isfinite(np.asarray(pos)).all()
 
 
 def test_evaluate_batch_scattered_replicas(tmp_path):
