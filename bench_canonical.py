@@ -535,6 +535,12 @@ def stage_stress_md(args):
     states = init_replica_states(jax.random.PRNGKey(0),
                                  jnp.asarray(crd, dtype), system.masses,
                                  300.0, args.replicas)
+    # HBM budget at stress scale: packs (~6.6 GB) + full-grid
+    # escalation payloads (2.5 GB) + staging must fit 16 GB — keep the
+    # raw-region device LRUs tiny and drop the parity-stage regions
+    for ev in evs:
+        ev.device_regions = 2
+        ev._cached = None
     # two pair-fused sets instead of one 3-grid set: a 3-grid B-spline
     # row is 192 floats -> a ~8 GB fused table at this region size,
     # over the tunneled device's ~7.2 GB compiled-buffer limit; split
@@ -551,17 +557,40 @@ def stage_stress_md(args):
     md = StreamedBatchMD(sets=sets, system=system,
                          dt=args.dt_fs * 1e-3, friction=5.0,
                          refresh_steps=args.refresh)
+
+    def rss_gb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+        return -1.0
+
+    seg_t = [time.time()]
+
+    def progress(done, total):
+        now = time.time()
+        log(f"  seg {done}/{total}: {now - seg_t[0]:.1f}s "
+            f"rss {rss_gb():.1f}GB "
+            f"packs {[s.packs_built for s in sets]} "
+            f"direct {[s.direct_builds for s in sets]} "
+            f"esc {[s.full_escalations for s in sets]}")
+        seg_t[0] = now
+
     t0 = time.time()
-    states = md.run(states, 300.0, args.warm)
+    states = md.run(states, 300.0, args.warm, progress=progress)
     log(f"warmup {args.warm} steps: {time.time() - t0:.1f}s")
     t0 = time.time()
-    states = md.run(states, 300.0, args.steps)
+    states = md.run(states, 300.0, args.steps, progress=progress)
     dt = time.time() - t0
     assert bool(jnp.isfinite(np.asarray(states.positions)).all())
     emit({"stage": "stress-md", "method": "bspline-streamed",
           "replicas": args.replicas, "region_shape": list(rshape),
           "refresh_steps": args.refresh, "dt_fs": args.dt_fs,
           "steps_per_s": round(args.steps / dt, 1),
+          "packs_built": sum(s.packs_built for s in sets),
+          "direct_builds": sum(s.direct_builds for s in sets),
+          "full_escalations": sum(s.full_escalations for s in sets),
+          "host_rss_gb": round(rss_gb(), 1),
           "grid_points": int(np.prod(S_COUNTS)),
           "on_disk_gb": round(sum(os.path.getsize(stress_path(g))
                                   for g in GRID_TYPES) / 1e9, 2),

@@ -163,6 +163,11 @@ class StreamSet:
         self._calm = None        # [R] consecutive region-fitting rounds
         self._full_pay = None
         self.full_escalations = 0
+        # build counters (observability: region churn is the cost driver
+        # on tunneled backends — every raw-region build is a host->device
+        # transfer whose bytes the tunnel client never releases)
+        self.packs_built = 0
+        self.direct_builds = 0
 
     # --- geometry -------------------------------------------------------
     @property
@@ -282,7 +287,9 @@ class StreamSet:
                     [pack_grid(g) for g in grids]), (ilo, ihi))
             self._packed[key] = built
             self._packed_bytes[key] = nbytes
+            self.packs_built += 1
         else:
+            self.direct_builds += 1
             # raw grids live in the evaluators' own device LRUs; do not
             # cache (nor count) them here
             built = (tuple(grids), (ilo, ihi))
@@ -346,6 +353,33 @@ class StreamSet:
         mid = (cell_lo + cell_hi + 1) // 2
         max_start = np.maximum(counts - shape, 0)
         centered = np.clip(mid - shape // 2, 0, max_start)
+        # UNION-FIRST sharing: when the union of all active clouds fits
+        # one region, every active replica gets the SAME start — one
+        # group, one resident pack, one region read, regardless of R.
+        # Per-replica centered starts would otherwise fragment nearly
+        # identical clouds into distinct regions differing by a cell
+        # (each fragment costing a multi-MB region read + device
+        # transfer — ruinous through a tunneled backend). The union
+        # start is snapped to a coarse lattice so slow union drift does
+        # not retarget it every segment (hysteresis below still decides
+        # per replica when to adopt a new start). Crossing-retry
+        # violators are excluded: they just outran a region edge and
+        # need one centered on THEIR cloud, maximal own-margin.
+        recenter = (self._recenter
+                    if self._recenter is not None
+                    and len(self._recenter) == n_rep
+                    else np.zeros(n_rep, dtype=bool))
+        active = any_in & ~self._full & ~recenter
+        if np.any(active):
+            u_lo = cell_lo[active].min(axis=0)
+            u_hi = cell_hi[active].max(axis=0)
+            if np.all(u_hi - u_lo + 1 <= shape):
+                umid = (u_lo + u_hi + 1) // 2
+                stride = np.maximum(shape // 16, 1)
+                ustart = np.clip(
+                    (umid - shape // 2 + stride // 2) // stride * stride,
+                    0, max_start)
+                centered = np.where(active[:, None], ustart, centered)
 
         if self._starts is None:
             starts = np.where(any_in[:, None], centered, 0)
@@ -535,7 +569,7 @@ class StreamedBatchMD:
         return run
 
     def run(self, states: MDState, temperatures, n_steps: int,
-            base_args=None) -> MDState:
+            base_args=None, progress=None) -> MDState:
         """Advance every replica ``n_steps``; returns the new batch.
 
         Host traffic per segment is O(R) floats (in-grid cloud bboxes
@@ -570,6 +604,8 @@ class StreamedBatchMD:
                                              scal_args, base_args, k,
                                              depth=0)
             done += k
+            if progress is not None:
+                progress(done, n_steps)
         return states
 
     def _run_chunk(self, states, bounds, temps, scal_args, base_args, k,

@@ -66,7 +66,11 @@ def _setup(tmp_path, region_shape=(26, 26, 26)):
 
 
 def test_streamed_batch_matches_in_memory(tmp_path):
-    system, grids, evs, scals, states = _setup(tmp_path)
+    # region smaller than the scattered clouds' union: forces genuine
+    # per-replica regions + grouping (union-first sharing would
+    # otherwise collapse this layout into one shared region)
+    system, grids, evs, scals, states = _setup(tmp_path,
+                                               region_shape=(20, 20, 20))
 
     md = StreamedBatchMD(evs, scals, system, dt=0.0005, friction=2.0,
                          refresh_steps=10)
@@ -180,6 +184,31 @@ def test_streamed_batch_detects_self_reversing_excursion(tmp_path):
         system=system, dt=0.001, friction=0.2, refresh_steps=400)
     with pytest.raises(RuntimeError, match="crossed their streamed"):
         md.run(states, 0.0, 400)
+
+
+def test_union_sharing_one_region(tmp_path):
+    """Nearly identical replica clouds (the REMD/stress-bench layout:
+    one pose + thermal jitter) must share ONE region — one file read,
+    one resident pack — not fragment into per-replica regions that
+    differ by a cell. Region reads are host->device transfers, so the
+    fragmentation this guards against is the dominant cost (and, on
+    tunneled backends, an unreclaimable host-memory cost) at scale."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    pos = np.asarray(states.positions)
+    pos = np.stack([pos[0] + RNG.normal(0, 0.01, pos[0].shape)
+                    for _ in range(6)])
+    states = MDState(positions=jnp.asarray(pos, jnp.float64),
+                     velocities=jnp.zeros_like(states.velocities),
+                     key=states.key)
+    md = StreamedBatchMD(evs, scals, system, dt=0.0005, friction=2.0,
+                         refresh_steps=10)
+    md.run(states, 0.0, 30)
+    sset = md.sets[0]
+    assert np.unique(sset._starts, axis=0).shape[0] == 1, \
+        "jittered copies of one pose must share one region"
+    # one miss per evaluator for the whole 3-segment run
+    assert evs[0].region_misses == 1
+    assert sset.packs_built <= 1
 
 
 def test_region_crossing_retry_recenters(tmp_path):
