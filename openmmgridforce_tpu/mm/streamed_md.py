@@ -133,6 +133,7 @@ class StreamSet:
         self.pack_budget = int(pack_budget_bytes)
         self._starts = None     # [R, 3] per-replica region hysteresis
         self._recenter = None   # [R] bool: force re-center on next assign
+        self._union_start = None  # sticky shared-region start (union mode)
         # fused PACKED regions: per-cell polynomial coefficients of all
         # co-located grids (one lane-padded row gather per atom — the
         # same fast path as in-memory MD; the direct stencil kernel is
@@ -355,31 +356,44 @@ class StreamSet:
         centered = np.clip(mid - shape // 2, 0, max_start)
         # UNION-FIRST sharing: when the union of all active clouds fits
         # one region, every active replica gets the SAME start — one
-        # group, one resident pack, one region read, regardless of R.
-        # Per-replica centered starts would otherwise fragment nearly
-        # identical clouds into distinct regions differing by a cell
-        # (each fragment costing a multi-MB region read + device
-        # transfer — ruinous through a tunneled backend). The union
-        # start is snapped to a coarse lattice so slow union drift does
-        # not retarget it every segment (hysteresis below still decides
-        # per replica when to adopt a new start). Crossing-retry
-        # violators are excluded: they just outran a region edge and
-        # need one centered on THEIR cloud, maximal own-margin.
+        # group, one resident pack, one region read, regardless of R —
+        # and that start is STICKY: it is reused unchanged while it
+        # still contains the union, so the pack is rebuilt only when
+        # the union bbox actually outgrows the region, not every
+        # segment the union's center drifts a cell. Per-replica
+        # centered starts would otherwise fragment nearly identical
+        # clouds into distinct regions (each fragment costing a
+        # multi-MB region read + device transfer — ruinous through a
+        # tunneled backend: the transfer bytes are never reclaimed).
+        # Crossing-retry violators are excluded: they just outran a
+        # region edge and need one centered on THEIR cloud.
         recenter = (self._recenter
                     if self._recenter is not None
                     and len(self._recenter) == n_rep
                     else np.zeros(n_rep, dtype=bool))
         active = any_in & ~self._full & ~recenter
+        union_start = None
         if np.any(active):
             u_lo = cell_lo[active].min(axis=0)
             u_hi = cell_hi[active].max(axis=0)
             if np.all(u_hi - u_lo + 1 <= shape):
-                umid = (u_lo + u_hi + 1) // 2
-                stride = np.maximum(shape // 16, 1)
-                ustart = np.clip(
-                    (umid - shape // 2 + stride // 2) // stride * stride,
-                    0, max_start)
-                centered = np.where(active[:, None], ustart, centered)
+                prev = self._union_start
+                if (prev is not None and np.all(u_lo >= prev)
+                        and np.all(u_hi <= prev + shape - 1)):
+                    union_start = prev
+                else:
+                    umid = (u_lo + u_hi + 1) // 2
+                    stride = np.maximum(shape // 16, 1)
+                    union_start = np.clip(
+                        (umid - shape // 2 + stride // 2)
+                        // stride * stride, 0, max_start)
+                    if not (np.all(u_lo >= union_start) and np.all(
+                            u_hi <= union_start + shape - 1)):
+                        # lattice snap uncovered the union (margin
+                        # thinner than the snap offset): exact center
+                        union_start = np.clip(umid - shape // 2, 0,
+                                              max_start)
+        self._union_start = union_start
 
         if self._starts is None:
             starts = np.where(any_in[:, None], centered, 0)
@@ -398,6 +412,12 @@ class StreamSet:
             # always re-center it
             keep &= ~demote
             starts = np.where(keep[:, None], self._starts, centered)
+        if union_start is not None:
+            # union mode bypasses per-replica hysteresis: ONE group on
+            # the sticky region (splitting actives between an old start
+            # and the union start would hold two multi-GB packs or push
+            # one group onto the slow direct-stencil fallback)
+            starts = np.where(active[:, None], union_start, starts)
         starts = np.where(self._full[:, None], self._FULL, starts)
         self._recenter = None
         self._starts = starts

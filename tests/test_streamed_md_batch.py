@@ -221,10 +221,9 @@ def test_region_crossing_retry_recenters(tmp_path):
                          refresh_steps=10)
     md.run(states, 0.0, 10)              # populate region hysteresis
     sset = md.sets[0]
-    old = sset._starts.copy()
 
     # fabricate a cloud bbox nudged 3 cells (+0.3 nm) in x but still
-    # inside the old region's interior -> hysteresis keeps the region
+    # inside the shared region's interior
     from openmmgridforce_tpu.mm.streamed_md import _cloud_bounds
     full_lo, full_hi = evs[0].full_box
     lo, hi = _cloud_bounds(jnp.asarray(states.positions),
@@ -236,16 +235,21 @@ def test_region_crossing_retry_recenters(tmp_path):
     bounds = (blo, bhi, any_in)
 
     s1 = sset.assign(bounds)
-    assert np.array_equal(s1, old), "hysteresis should keep all regions"
+    # this layout's union fits one region: in-grid replicas share a
+    # single sticky start
+    assert np.unique(s1[any_in], axis=0).shape[0] == 1
+    shared = s1[any_in][0].copy()
+    s1b = sset.assign(bounds)
+    assert np.array_equal(s1b, s1), "sticky start must not drift"
 
     # now mark replica 0 as a crossing violator (what _run_chunk does)
     sset._recenter = np.zeros(len(any_in), dtype=bool)
     sset._recenter[0] = True
     s2 = sset.assign(bounds)
-    assert not np.array_equal(s2[0], old[0]), \
+    assert not np.array_equal(s2[0], shared), \
         "violator's region must re-center on its current cloud"
-    assert np.array_equal(s2[1:], old[1:]), \
-        "non-violators keep their regions"
+    assert np.array_equal(s2[1:], s1[1:]), \
+        "non-violators keep the shared region"
     assert sset._recenter is None, "recenter request is one-shot"
 
 
