@@ -414,6 +414,85 @@ def stage_accuracy(args):
                                    and pose_max < 1e-5)})
 
 
+def hermite_tiled_path(gt):
+    return os.path.join(args_cache_dir(), f"canon_derivs_{gt}.tiled")
+
+
+def _ensure_hermite_tiled(gt):
+    """Canonical 27-derivative grid as an OMGTILE file, written host-side
+    from the derivs .npy cache (no device transfer: uploading 1.4 GB
+    through the ~6 MB/s tunnel would take hours)."""
+    path = hermite_tiled_path(gt)
+    if os.path.exists(path):
+        return path
+    from openmmgridforce_tpu.io.omgtile import (TiledGridWriter, num_tiles,
+                                                tile_range)
+    d = np.load(derivs_cache(gt), mmap_mode="r")       # [27, nx, ny, nz]
+    t0 = time.time()
+    with TiledGridWriter(path + ".tmp", COUNTS, SPACING, ORIGIN,
+                         tile_size=32, has_derivatives=True) as w:
+        ntx, nty, ntz = num_tiles(COUNTS, 32)
+        for tx in range(ntx):
+            for ty in range(nty):
+                for tz in range(ntz):
+                    x0, y0, z0, x1, y1, z1 = tile_range(COUNTS, 32,
+                                                        tx, ty, tz)
+                    sub = np.ascontiguousarray(
+                        d[:, x0:x1, y0:y1, z0:z1])
+                    w.write_tile(tx, ty, tz, sub[0], sub)
+    os.replace(path + ".tmp", path)
+    log(f"  wrote {path} ({os.path.getsize(path) / 1e9:.2f} GB, "
+        f"{time.time() - t0:.0f}s)")
+    return path
+
+
+def _streamed_hermite_row(args, method, dtype):
+    """Canonical-scale Hermite MD via streamed regions: a full-grid
+    triquintic pack (13.19M cells x 768-lane fused rows = 40 GB) cannot
+    be device-resident, but the ligand cloud only ever touches a region
+    — one fused 3-grid region pack (~4.5 GB) serves all replicas through
+    the union-sharing StreamedBatchMD engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
+    from openmmgridforce_tpu.mm import (load_inpcrd, load_prmtop,
+                                        system_from_amber)
+    from openmmgridforce_tpu.mm.streamed_md import (StreamedBatchMD,
+                                                    StreamSet)
+    from openmmgridforce_tpu.parallel import init_replica_states
+    lig = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    # region = ligand span + stencil halo + drift margin per side
+    span = crd.max(0) - crd.min(0)
+    need = np.ceil(span / np.asarray(SPACING)).astype(int) + 1 + 3
+    rshape = tuple(int(n + 2 * 16) for n in need)
+    ncells = int(np.prod(np.asarray(rshape) - 1))
+    log(f"  streamed region {rshape} ({ncells / 1e6:.1f}M cells)")
+    evs = [StreamedGridEvaluator(_ensure_hermite_tiled(gt), method,
+                                 region_shape=rshape)
+           for gt in GRID_TYPES]
+    scals = [scaling_for(gt, lig) for gt in GRID_TYPES]
+    kcoef = 216 if args.method == "triquintic" else 64
+    row = -(-len(evs) * kcoef // 128) * 128
+    sets = [StreamSet(evs, scals,
+                      pack_budget_bytes=int(ncells * row * 4 * 1.5))]
+    system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
+    states = init_replica_states(jax.random.PRNGKey(0),
+                                 jnp.asarray(crd, dtype), system.masses,
+                                 300.0, args.replicas)
+    md = StreamedBatchMD(sets=sets, system=system, dt=0.0005,
+                         friction=5.0, refresh_steps=50)
+    t0 = time.time()
+    states = md.run(states, 300.0, 100)          # warm: compile + pack
+    log(f"  warmup: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    states = md.run(states, 300.0, args.steps)
+    dt = time.time() - t0
+    assert bool(jnp.isfinite(np.asarray(states.positions)).all())
+    return args.steps / dt
+
+
 def stage_hermite(args):
     import jax
 
@@ -421,13 +500,22 @@ def stage_hermite(args):
     dtype = np.float32
     method = {"tricubic": InterpolationMethod.TRICUBIC,
               "triquintic": InterpolationMethod.TRIQUINTIC}[args.method]
+    # triquintic rows cannot be device-resident at canonical scale (one
+    # grid's packed rows = 13.19M cells x 256 lanes = 13.5 GB, over the
+    # tunneled device's ~7.2 GB compiled-buffer limit even singly) —
+    # stream regions instead
     for fuse in ([args.fuse] if args.fuse != "auto"
                  else (["all", "pair", "none"]
-                       if args.method == "tricubic" else ["none"])):
+                       if args.method == "tricubic" else ["streamed"])):
         try:
-            log(f"building {args.method} packs ({fuse}) ...")
-            bindings, label = _build_packs(dtype, fuse, method)
-            sps = _time_md(bindings, args.replicas, args.steps, dtype)
+            if fuse == "streamed":
+                log(f"streamed {args.method} regions ...")
+                sps = _streamed_hermite_row(args, method, dtype)
+            else:
+                log(f"building {args.method} packs ({fuse}) ...")
+                bindings, label = _build_packs(dtype, fuse, method)
+                sps = _time_md(bindings, args.replicas, args.steps,
+                               dtype)
             emit({"stage": "md", "method": args.method,
                   "basis": "chebyshev-f32", "fuse": fuse,
                   "replicas": args.replicas,
@@ -519,17 +607,18 @@ def stage_stress_md(args):
            for gt in GRID_TYPES]
     scals = [scaling_for(gt, lig) for gt in GRID_TYPES]
 
-    # parity gate first (reference highres gates: <0.5% good, <2% ok)
-    recp = load_prmtop(f"{DATA}/receptor.prmtop")
-    rec_x = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
-    for gt, ev in zip(GRID_TYPES, evs):
-        e_grid = float(ev.evaluate(crd, scals[GRID_TYPES.index(gt)])
-                       .energy)
-        e_pair = pairwise_energy(gt, lig, crd, recp, rec_x)
-        rel = abs(e_grid - e_pair) / abs(e_pair)
-        emit({"stage": "stress-parity", "grid": gt, "e_grid": e_grid,
-              "e_pairwise": e_pair, "rel_err": rel, "gate": 0.02,
-              "pass": rel < 0.02})
+    if not args.skip_parity:
+        # parity gate first (reference highres gates: <0.5% good, <2% ok)
+        recp = load_prmtop(f"{DATA}/receptor.prmtop")
+        rec_x = load_inpcrd(f"{DATA}/receptor.trans.inpcrd")
+        for gt, ev in zip(GRID_TYPES, evs):
+            e_grid = float(ev.evaluate(crd, scals[GRID_TYPES.index(gt)])
+                           .energy)
+            e_pair = pairwise_energy(gt, lig, crd, recp, rec_x)
+            rel = abs(e_grid - e_pair) / abs(e_pair)
+            emit({"stage": "stress-parity", "grid": gt, "e_grid": e_grid,
+                  "e_pairwise": e_pair, "rel_err": rel, "gate": 0.02,
+                  "pass": rel < 0.02})
 
     system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
     states = init_replica_states(jax.random.PRNGKey(0),
@@ -630,7 +719,7 @@ def main():
     h.add_argument("--method", default="tricubic",
                    choices=["tricubic", "triquintic"])
     h.add_argument("--fuse", default="auto",
-                   choices=["auto", "all", "pair", "none"])
+                   choices=["auto", "all", "pair", "none", "streamed"])
     h.add_argument("--replicas", type=int, default=1000)
     h.add_argument("--steps", type=int, default=1000)
     sg = sub.add_parser("stress-gen")
@@ -646,6 +735,7 @@ def main():
     # past 25 nm/ps, outrunning any affordable region margin. Cost per
     # step is dt-independent; segment drift tolerance is
     # margin*spacing/(refresh*dt) = 6.4 nm/ps (4x that in retry chunks).
+    sm.add_argument("--skip-parity", action="store_true")
     sm.add_argument("--refresh", type=int, default=50)
     sm.add_argument("--warm", type=int, default=100)
     sm.add_argument("--steps", type=int, default=1000)

@@ -78,6 +78,18 @@ def _unpack_set_bounds(b12):
             (run_lo, run_hi, np.isfinite(run_lo).all(axis=1)))
 
 
+def _debug_log():
+    """Optional stderr logger, enabled by OPENMMGRIDFORCE_STREAM_DEBUG=1
+    (diagnosing region-churn/HBM issues on opaque tunneled devices where
+    memory_stats() is unavailable)."""
+    import os
+    import sys
+    if os.environ.get("OPENMMGRIDFORCE_STREAM_DEBUG") != "1":
+        return None
+    return lambda msg: print(f"[stream] {msg}", file=sys.stderr,
+                             flush=True)
+
+
 class _RegionCrossing(RuntimeError):
     """A replica's cloud left its region's interior within a segment."""
 
@@ -280,7 +292,10 @@ class StreamSet:
         row = (-(-width // 64) * 64 if value_method
                else -(-width // 128) * 128)
         nbytes = ncells * row * 4
+        dbg = _debug_log()
         if self._evict_until(nbytes):
+            if dbg:
+                dbg(f"payload BUILD pack key={key} bytes={nbytes}")
             if value_method:
                 built = (pack_grids_fused(grids), (ilo, ihi))
             else:
@@ -290,6 +305,9 @@ class StreamSet:
             self._packed_bytes[key] = nbytes
             self.packs_built += 1
         else:
+            if dbg:
+                dbg(f"payload DIRECT key={key} (pack {nbytes} over "
+                    f"budget {self.pack_budget})")
             self.direct_builds += 1
             # raw grids live in the evaluators' own device LRUs; do not
             # cache (nor count) them here
@@ -630,43 +648,54 @@ class StreamedBatchMD:
 
     def _run_chunk(self, states, bounds, temps, scal_args, base_args, k,
                    depth):
+        # ALL retry work happens OUTSIDE the except block: while the
+        # handler is active the exception's traceback pins the failed
+        # _segment frame — including its multi-GB payload tuple — so a
+        # pack built during an in-handler retry would stack on top of
+        # packs the LRU believes it has evicted (measured: 8.3 GB of
+        # "evicted" stress packs stayed device-resident through the
+        # retry and a sticky-union re-pack then exhausted HBM)
+        bad = None
         try:
             return self._segment(states, bounds, temps, scal_args,
                                  base_args, k)
         except _RegionCrossing as rc:
-            if depth >= 2 or k < 4:
-                # retry ladder exhausted: the cloud outruns any bounded
-                # region (a capped-well runaway) — move the violators
-                # onto the full-grid payload and re-run; they cannot
-                # violate again, so the recursion strictly shrinks
-                if all(s.can_escalate() for s in self.sets):
-                    n_rep = states.positions.shape[0]
-                    for s in self.sets:
-                        s.escalate(rc.bad, n_rep)
-                    return self._run_chunk(states, bounds, temps,
-                                           scal_args, base_args, k,
-                                           depth)
+            dbg = _debug_log()
+            if dbg:
+                dbg(f"crossing k={k} depth={depth} bad={rc.bad.tolist()}")
+            if ((depth >= 2 or k < 4)
+                    and not all(s.can_escalate() for s in self.sets)):
                 raise
-            # drop the violators' hysteresis entries so the retry
-            # actually RE-CENTERS their regions on the current clouds
-            # (the segment-start bbox is usually still inside the old
-            # interior, so hysteresis alone would keep the old region
-            # and the retry would rely on shorter chunks only)
-            n_rep = states.positions.shape[0]
-            recenter = np.zeros(n_rep, dtype=bool)
-            recenter[rc.bad] = True
+            bad = rc.bad
+        n_rep = states.positions.shape[0]
+        if depth >= 2 or k < 4:
+            # retry ladder exhausted: the cloud outruns any bounded
+            # region (a capped-well runaway) — move the violators
+            # onto the full-grid payload and re-run; they cannot
+            # violate again, so the recursion strictly shrinks
             for s in self.sets:
-                if s._starts is not None:
-                    s._recenter = recenter
-            sub = max(k // 4, 1)
-            left = k
-            while left > 0:
-                piece = min(sub, left)
-                states, bounds = self._run_chunk(states, bounds, temps,
-                                                 scal_args, base_args,
-                                                 piece, depth + 1)
-                left -= piece
-            return states, bounds
+                s.escalate(bad, n_rep)
+            return self._run_chunk(states, bounds, temps, scal_args,
+                                   base_args, k, depth)
+        # drop the violators' hysteresis entries so the retry
+        # actually RE-CENTERS their regions on the current clouds
+        # (the segment-start bbox is usually still inside the old
+        # interior, so hysteresis alone would keep the old region
+        # and the retry would rely on shorter chunks only)
+        recenter = np.zeros(n_rep, dtype=bool)
+        recenter[bad] = True
+        for s in self.sets:
+            if s._starts is not None:
+                s._recenter = recenter
+        sub = max(k // 4, 1)
+        left = k
+        while left > 0:
+            piece = min(sub, left)
+            states, bounds = self._run_chunk(states, bounds, temps,
+                                             scal_args, base_args,
+                                             piece, depth + 1)
+            left -= piece
+        return states, bounds
 
     def _segment(self, states, bounds, temps, scal_args, base_args, k):
         n_rep = states.positions.shape[0]
@@ -676,6 +705,12 @@ class StreamedBatchMD:
         starts = [s.assign(bounds[si]) for si, s in enumerate(self.sets)]
         combo = np.hstack(starts)                         # [R, 3S]
         uniq, inverse = np.unique(combo, axis=0, return_inverse=True)
+        dbg = _debug_log()
+        if dbg:
+            dbg(f"segment k={k} groups={uniq.shape[0]} "
+                f"uniq={uniq.tolist()} "
+                f"resident={[sum(s._packed_bytes.values()) for s in self.sets]} "
+                f"keys={[list(s._packed) for s in self.sets]}")
         # a new round may pack fresh regions: unpin last round's packs
         # (they stay cached until the budget needs the room)
         for s in self.sets:
