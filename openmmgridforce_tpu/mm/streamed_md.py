@@ -244,8 +244,17 @@ class StreamSet:
         """Move replicas ``bad`` onto the full-grid payload."""
         if self._full is None or len(self._full) != n_rep:
             self._full = np.zeros(n_rep, dtype=bool)
-        self._full[np.asarray(bad, dtype=int)] = True
-        self.full_escalations += len(np.asarray(bad))
+        bad = np.asarray(bad, dtype=int)
+        self._full[bad] = True
+        # restart the demotion clock: _calm accumulates for every
+        # region-fitting replica, so without this reset a replica whose
+        # ENDPOINT bbox fits (a runaway transiting in and out of the
+        # grid leaves small endpoint bboxes while its running bbox
+        # violates any bounded region) is demoted on the very next
+        # assign and re-escalates forever
+        if self._calm is not None and len(self._calm) == n_rep:
+            self._calm[bad] = 0
+        self.full_escalations += len(bad)
 
     def _full_payload(self):
         if self._full_pay is None:

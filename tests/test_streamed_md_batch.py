@@ -211,6 +211,34 @@ def test_union_sharing_one_region(tmp_path):
     assert sset.packs_built <= 1
 
 
+def test_escalation_survives_accumulated_calm(tmp_path):
+    """A replica escalated to the full-grid payload must STAY there for
+    several rounds even when its endpoint bbox fits a region: the
+    demotion clock (_calm) accumulates during every calm segment, so
+    without a reset at escalation a runaway whose endpoint cloud is
+    small (it transits in and out of the grid) was demoted on the very
+    next assign and re-escalated forever (observed as an infinite
+    escalate/demote recursion at stress scale)."""
+    system, grids, evs, scals, states = _setup(tmp_path,
+                                               region_shape=(30, 30, 30))
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    s = StreamSet(evs, scals)
+    # tight endpoint bboxes well inside the grid (the runaway's
+    # signature: small ENDPOINT cloud, violating RUNNING cloud)
+    c = np.asarray([[0.4, 0.4, 0.4], [1.2, 1.2, 1.2]])
+    bounds = (c - 0.05, c + 0.05, np.ones(2, dtype=bool))
+    for _ in range(6):                # accumulate demotion credit
+        s.assign(bounds)
+    assert s._calm.min() >= 4         # the pre-fix hazard condition
+    s.escalate([1], 2)
+    for _ in range(3):                # < 4 fitting rounds: still full
+        starts = s.assign(bounds)
+        assert tuple(starts[1]) == (-1, -1, -1)
+        assert tuple(starts[0]) != (-1, -1, -1)
+    s.assign(bounds)                  # 4th fitting round: demoted
+    assert tuple(s.assign(bounds)[1]) != (-1, -1, -1)
+
+
 def test_region_crossing_retry_recenters(tmp_path):
     """After a _RegionCrossing the violating replica's region must be
     RE-CENTERED on its current cloud during the retry, even though the
