@@ -266,23 +266,38 @@ class StreamedGridEvaluator:
         return interior_lo, interior_hi
 
     def full_grid_bytes(self):
-        """Device bytes a full-grid payload would take (values, plus the
-        27 derivatives for Hermite methods)."""
+        """Bytes a full-grid payload takes (values, plus the 27
+        derivatives for Hermite methods). Full-grid escalation payloads
+        live in HOST memory (see ``_full_region_cached``), so this
+        budgets host RAM, not HBM."""
         per_pt = 28 if self.interp_method in (
             InterpolationMethod.TRICUBIC,
             InterpolationMethod.TRIQUINTIC) else 1
         return int(np.prod(self.stream.counts)) * 4 * per_pt
 
-    def _full_region_cached(self):
-        """The WHOLE on-disk grid as one device-resident region — the
-        escalation payload for clouds no bounded region can contain
-        (e.g. a capped-well runaway transiting the box). Its interior
-        is the full grid box, so containment checks are vacuous; cached
-        separately from the region LRU."""
-        if getattr(self, "_full_region", None) is None:
-            self._full_region = self._build_region(
-                (0, 0, 0), tuple(int(c) for c in self.stream.counts))
-        return self._full_region
+    def _full_region_cached(self, host=False):
+        """The WHOLE on-disk grid as one region — the escalation payload
+        for clouds no bounded region can contain (e.g. a capped-well
+        runaway transiting the box). Its interior is the full grid box,
+        so containment checks are vacuous; cached separately from the
+        region LRU. With ``host=True`` the grid arrays are committed to
+        the host CPU device: a multi-GB full grid must never share HBM
+        with the resident region packs (measured to exhaust a 16 GB
+        chip at stress scale), and on tunneled backends the upload
+        itself is prohibitive — escalated replicas run their segments
+        on the host instead."""
+        attr = "_full_region_host" if host else "_full_region"
+        if getattr(self, attr, None) is None:
+            if host:
+                import jax
+                with jax.default_device(jax.devices("cpu")[0]):
+                    region = self._build_region(
+                        (0, 0, 0), tuple(int(c) for c in self.stream.counts))
+            else:
+                region = self._build_region(
+                    (0, 0, 0), tuple(int(c) for c in self.stream.counts))
+            setattr(self, attr, region)
+        return getattr(self, attr)
 
     def _region_cached(self, start):
         """Device-resident region LRU keyed by start (bounded by

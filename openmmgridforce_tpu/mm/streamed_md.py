@@ -164,8 +164,10 @@ class StreamSet:
         # can contain (a capped-well runaway transiting the box, or a
         # crossing that persists through the retry ladder) is moved onto
         # the whole on-disk grid as its "region" — direct-stencil
-        # evaluation, containment vacuously satisfied — and demoted back
-        # to a packed region once its cloud again fits one with margin.
+        # evaluation ON THE HOST CPU device (the multi-GB payload lives
+        # in host RAM, never HBM), containment vacuously satisfied —
+        # and demoted back to a packed region once its cloud again fits
+        # one with margin.
         # This is how the streamed path keeps the reference's
         # every-step-exact guarantee for ANY trajectory (the reference
         # re-prepares tiles each step, CudaGridForceKernels.cpp:888-975)
@@ -175,6 +177,7 @@ class StreamSet:
         self._full = None        # [R] bool: replica is on the full grid
         self._calm = None        # [R] consecutive region-fitting rounds
         self._full_pay = None
+        self._full_pay_host = None
         self.full_escalations = 0
         # build counters (observability: region churn is the cost driver
         # on tunneled backends — every raw-region build is a host->device
@@ -237,6 +240,8 @@ class StreamSet:
         return resident() + room_for <= self.pack_budget
 
     def can_escalate(self):
+        # full-grid payloads live in HOST memory (escalated replicas run
+        # their segments on the host CPU device), so this budgets RAM
         return (sum(ev.full_grid_bytes() for ev in self.evaluators)
                 <= self.full_region_budget)
 
@@ -256,16 +261,17 @@ class StreamSet:
             self._calm[bad] = 0
         self.full_escalations += len(bad)
 
-    def _full_payload(self):
-        if self._full_pay is None:
-            grids = [ev._full_region_cached()[0]
+    def _full_payload(self, host=False):
+        attr = "_full_pay_host" if host else "_full_pay"
+        if getattr(self, attr, None) is None:
+            grids = [ev._full_region_cached(host=host)[0]
                      for ev in self.evaluators]
             lo, hi = self.full_box
-            self._full_pay = (tuple(grids),
-                              (np.asarray(lo), np.asarray(hi)))
-        return self._full_pay
+            setattr(self, attr,
+                    (tuple(grids), (np.asarray(lo), np.asarray(hi))))
+        return getattr(self, attr)
 
-    def payload(self, start):
+    def payload(self, start, host=False):
         """Device payload for region ``start``: read each evaluator's
         region (through its device LRU), pack to per-cell coefficients
         and fuse into one multi-grid row table — or, when the pack does
@@ -276,7 +282,7 @@ class StreamSet:
         hysteresis amortizes the pack cost."""
         key = tuple(int(s) for s in start)
         if key == (-1, -1, -1):
-            return self._full_payload()
+            return self._full_payload(host=host)
         self._round_keys.add(key)
         hit = self._packed.get(key)
         if hit is not None:
@@ -725,18 +731,41 @@ class StreamedBatchMD:
         for s in self.sets:
             s.begin_round()
 
-        def group_payloads(u):
+        def group_payloads(u, host=False):
             payloads, interiors = [], []
             for si, s in enumerate(self.sets):
-                pay, interior = s.payload(uniq[u][3 * si:3 * si + 3])
+                pay, interior = s.payload(uniq[u][3 * si:3 * si + 3],
+                                          host=host)
                 payloads.append(pay)
                 interiors.append(interior)
             return tuple(payloads), interiors
 
+        def dispatch(u, subs, temps_sub):
+            """Run one group's segment. Full-grid escalation groups
+            (sentinel start) run on the HOST CPU device: their multi-GB
+            payload must never share HBM with the resident region packs
+            (measured to exhaust a 16 GB chip at stress scale), and on
+            tunneled backends the upload alone is prohibitive. The SAME
+            jitted runner compiles a CPU executable via committed
+            argument placement, so semantics are identical; only the
+            (runaway, rare) escalated replicas pay host speed."""
+            host = bool((np.asarray(uniq[u]) < 0).any())
+            payloads, interiors = group_payloads(u, host=host)
+            t_sub = jnp.asarray(temps_sub, dtype)
+            if host:
+                cpu = jax.devices("cpu")[0]
+                main_dev = next(iter(states.positions.devices()))
+                args = jax.device_put(
+                    (subs, base_args, payloads, scal_args, t_sub), cpu)
+                out, b = runner(*args)
+                out = jax.device_put(out, main_dev)
+            else:
+                out, b = runner(subs, base_args, payloads, scal_args,
+                                t_sub)
+            return out, b, interiors
+
         if uniq.shape[0] == 1:
-            payloads, interiors = group_payloads(0)
-            states, b = runner(states, base_args, payloads, scal_args,
-                               jnp.asarray(temps, dtype))
+            states, b, interiors = dispatch(0, states, temps)
             bset = np.asarray(b)                  # ONE [R,S,12] download
             perm = [np.arange(n_rep)]
             group_interiors = [interiors]
@@ -750,13 +779,11 @@ class StreamedBatchMD:
                              key=lambda u: -len(group_idx[u]))
             for u in order_u:
                 idx = group_idx[u]
-                payloads, interiors = group_payloads(u)
                 nb = 1 << (len(idx) - 1).bit_length()
                 pad = np.concatenate(
                     [idx, np.repeat(idx[:1], nb - len(idx))])
                 subs = jax.tree.map(lambda x: x[pad], states)
-                out, b = runner(subs, base_args, payloads, scal_args,
-                                jnp.asarray(temps[pad], dtype))
+                out, b, interiors = dispatch(u, subs, temps[pad])
                 perm.append(idx)
                 outs.append(jax.tree.map(lambda x: x[:len(idx)], out))
                 bparts.append(np.asarray(b)[:len(idx)])
