@@ -624,12 +624,17 @@ def stage_stress_md(args):
     states = init_replica_states(jax.random.PRNGKey(0),
                                  jnp.asarray(crd, dtype), system.masses,
                                  300.0, args.replicas)
-    # HBM budget at stress scale: packs (~6.6 GB) + full-grid
-    # escalation payloads (2.5 GB) + staging must fit 16 GB — keep the
-    # raw-region device LRUs tiny and drop the parity-stage regions
+    # HBM budget at stress scale: packs (~8.3 GB) + staging must fit
+    # the chip (full-grid escalation payloads live in HOST RAM). The
+    # raw-region device LRU must hold every concurrently-active group's
+    # region (4 x ~44 MB x 3 evs = 0.53 GB): once replicas scatter into
+    # several stable groups, the minority groups run direct-stencil on
+    # these cached regions every segment — an LRU smaller than the
+    # group count re-reads AND re-uploads ~130 MB per group per segment
+    # (measured: 113 s segments and unreclaimable host RSS growth)
     for ev in evs:
-        ev.device_regions = 2
-        ev._cached = None
+        ev.device_regions = 4
+        ev._cached = None      # drop any parity-stage region
     # two pair-fused sets instead of one 3-grid set: a 3-grid B-spline
     # row is 192 floats -> a ~8 GB fused table at this region size,
     # over the tunneled device's ~7.2 GB compiled-buffer limit; split

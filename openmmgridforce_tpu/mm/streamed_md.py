@@ -429,6 +429,7 @@ class StreamSet:
         self._union_start = union_start
 
         if self._starts is None:
+            keep = np.zeros(n_rep, dtype=bool)
             starts = np.where(any_in[:, None], centered, 0)
         else:
             ilo = ihi = None
@@ -451,6 +452,42 @@ class StreamSet:
             # and the union start would hold two multi-GB packs or push
             # one group onto the slow direct-stencil fallback)
             starts = np.where(active[:, None], union_start, starts)
+        elif np.any(active):
+            # REGION-POOL JOINING: the union no longer fits one region,
+            # so share the FEWEST regions instead of fragmenting into
+            # per-replica centered starts (nearly identical clouds then
+            # differ by a cell or two and each fragment costs a region
+            # read + device transfer per segment — the measured death
+            # spiral at stress scale). Every re-assigned cloud first
+            # tries to JOIN an existing region — a kept replica's
+            # sticky start or a pool region created this round — and
+            # only founds a new (lattice-snapped, so reproducible)
+            # region when it fits none with slack.
+            slack = np.maximum(shape // 32, 2)
+            stride = np.maximum(shape // 16, 1)
+            pool = [st for st in np.unique(
+                starts[active & keep], axis=0)] if np.any(
+                    active & keep) else []
+            for i in np.nonzero(active & ~keep)[0]:
+                placed = False
+                for st in pool:
+                    if (np.all(cell_lo[i] >= st + slack)
+                            and np.all(cell_hi[i]
+                                       <= st + shape - 1 - slack)):
+                        starts[i] = st
+                        placed = True
+                        break
+                if not placed:
+                    st = np.clip(
+                        (mid[i] - shape // 2 + stride // 2)
+                        // stride * stride, 0, max_start)
+                    if not (np.all(cell_lo[i] >= st)
+                            and np.all(cell_hi[i]
+                                       <= st + shape - 1)):
+                        # snap uncovered the cloud: exact center
+                        st = np.clip(mid[i] - shape // 2, 0, max_start)
+                    starts[i] = st
+                    pool.append(st)
         starts = np.where(self._full[:, None], self._FULL, starts)
         self._recenter = None
         self._starts = starts

@@ -211,6 +211,31 @@ def test_union_sharing_one_region(tmp_path):
     assert sset.packs_built <= 1
 
 
+def test_region_pool_joins_clusters(tmp_path):
+    """When the GLOBAL union of clouds no longer fits one region,
+    assignment must still share the fewest regions (one per spatial
+    cluster), not fragment nearly identical clouds into per-replica
+    centered starts differing by a cell — at stress scale each fragment
+    costs a region read + device transfer per segment (the measured
+    death spiral). Starts must also be sticky under jitter."""
+    system, grids, evs, scals, states = _setup(tmp_path,
+                                               region_shape=(20, 20, 20))
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    s = StreamSet(evs, scals)
+    c0 = np.array([0.3, 0.3, 0.3])
+    c1 = c0 + 1.5            # 15 cells away: union needs > 20 cells
+    centers = np.array([c0 + 0.01 * i for i in range(3)]
+                       + [c1 + 0.01 * i for i in range(3)])
+    ones = np.ones(6, dtype=bool)
+    starts = s.assign((centers - 0.05, centers + 0.05, ones))
+    assert np.unique(starts, axis=0).shape[0] == 2, \
+        "two clusters must share exactly two regions"
+    # sticky under jitter: a re-assign with slightly moved clouds keeps
+    # both regions unchanged (hysteresis + pool reuse)
+    starts2 = s.assign((centers - 0.06, centers + 0.04, ones))
+    assert np.array_equal(np.asarray(starts), np.asarray(starts2))
+
+
 def test_escalation_survives_accumulated_calm(tmp_path):
     """A replica escalated to the full-grid payload must STAY there for
     several rounds even when its endpoint bbox fits a region: the
