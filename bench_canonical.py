@@ -25,12 +25,19 @@ the table in BENCH_MATRIX.md is updated by hand from there.
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# kill -USR1 <pid> dumps all thread stacks to stderr without touching
+# the process (SIGQUIT kills python AND wedges the TPU tunnel for
+# ~30+ min when transfers are in flight — never use it to inspect)
+faulthandler.register(signal.SIGUSR1)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 DATA = "/root/reference/python/prmtopcrd"
