@@ -482,8 +482,12 @@ def _streamed_hermite_row(args, method, dtype):
     scals = [scaling_for(gt, lig) for gt in GRID_TYPES]
     kcoef = 216 if args.method == "triquintic" else 64
     row = -(-len(evs) * kcoef // 128) * 128
+    # escalation payloads live in host RAM: 3 x 28-channel canonical
+    # grids = 4.49 GB, so the default 4 GiB budget would silently
+    # disable the runaway safety net
     sets = [StreamSet(evs, scals,
-                      pack_budget_bytes=int(ncells * row * 4 * 1.5))]
+                      pack_budget_bytes=int(ncells * row * 4 * 1.5),
+                      full_region_budget_bytes=8 << 30)]
     system = system_from_amber(lig, dtype=dtype, hydrogen_mass=4.0)
     states = init_replica_states(jax.random.PRNGKey(0),
                                  jnp.asarray(crd, dtype), system.masses,

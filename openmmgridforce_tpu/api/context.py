@@ -835,20 +835,37 @@ class Context:
         while it < int(maxIterations):
             # region assignment for the CURRENT cloud (R=1), through the
             # shared per-set hysteresis/re-centering machinery
-            payloads, interiors = [], []
+            set_starts = []
             for s in sets:
                 full_lo, full_hi = s.full_box
                 l0, h0 = _CLOUD_BOUNDS_JIT(
                     s.take(x)[None], jnp.asarray(full_lo, x.dtype),
                     jnp.asarray(full_hi, x.dtype))
                 l0, h0 = np.asarray(l0), np.asarray(h0)
-                starts = s.assign((l0, h0,
-                                   np.isfinite(l0).all(axis=1)))
-                pay, interior = s.payload(starts[0])
+                set_starts.append(s.assign(
+                    (l0, h0, np.isfinite(l0).all(axis=1))))
+            # a cloud no bounded region contains escalates to the full
+            # grid, which lives on the HOST CPU device (a multi-GB full
+            # grid must never be uploaded to / share HBM with packs —
+            # see mm.streamed_md); the segment then runs on the host
+            host = any(bool((np.asarray(ss[0]) < 0).any())
+                       for ss in set_starts)
+            payloads, interiors = [], []
+            for s, ss in zip(sets, set_starts):
+                pay, interior = s.payload(ss[0], host=host)
                 payloads.append(pay)
                 interiors.append(interior)
-            x2, st2, e2, g2, it2, b = seg(x, st, it, grids,
-                                          tuple(payloads), scal_args)
+            if host:
+                cpu = jax.devices("cpu")[0]
+                main_dev = next(iter(x.devices()))
+                args = jax.device_put((x, st, grids, tuple(payloads),
+                                       scal_args), cpu)
+                x2, st2, e2, g2, it2, b = seg(args[0], args[1], it,
+                                              args[2], args[3], args[4])
+                x2, st2 = jax.device_put((x2, st2), main_dev)
+            else:
+                x2, st2, e2, g2, it2, b = seg(x, st, it, grids,
+                                              tuple(payloads), scal_args)
             b = np.asarray(b)
             bad_sets = []
             for si, s in enumerate(sets):

@@ -160,6 +160,7 @@ class StreamSet:
         self._packed = {}       # key -> (payload, interior)
         self._packed_bytes = {}  # key -> resident device bytes
         self._round_keys = set()  # keys pinned by the current round
+        self._host_regions = {}   # CPU-device raw regions (mixed groups)
         # FULL-GRID escalation: a replica whose cloud no bounded region
         # can contain (a capped-well runaway transiting the box, or a
         # crossing that persists through the retry ladder) is moved onto
@@ -283,6 +284,28 @@ class StreamSet:
         key = tuple(int(s) for s in start)
         if key == (-1, -1, -1):
             return self._full_payload(host=host)
+        if host:
+            # bounded region inside a HOST-dispatched group (a mixed
+            # group: this set region-bound, another set escalated).
+            # Build the raw-region payload directly on the CPU device —
+            # reusing the TPU pack here would make dispatch() round-trip
+            # a multi-GB table through the tunnel every segment.
+            hit = self._host_regions.pop(key, None)
+            if hit is None:
+                import jax
+                self.direct_builds += 1
+                grids, ilo, ihi = [], None, None
+                with jax.default_device(jax.devices("cpu")[0]):
+                    for ev in self.evaluators:
+                        g, (lo, hi) = ev._build_region(np.asarray(key))
+                        grids.append(g)
+                        ilo = lo if ilo is None else np.maximum(ilo, lo)
+                        ihi = hi if ihi is None else np.minimum(ihi, hi)
+                hit = (tuple(grids), (ilo, ihi))
+            self._host_regions[key] = hit
+            while len(self._host_regions) > 4:
+                self._host_regions.pop(next(iter(self._host_regions)))
+            return hit
         self._round_keys.add(key)
         hit = self._packed.get(key)
         if hit is not None:
@@ -488,6 +511,28 @@ class StreamSet:
                         st = np.clip(mid[i] - shape // 2, 0, max_start)
                     starts[i] = st
                     pool.append(st)
+        # crossing-retry violators get max-own-margin regions, but a
+        # MASS crossing (a shared region outgrown by the whole drifting
+        # batch at once) must not fragment into per-replica cell-offset
+        # starts — pool the violators among THEMSELVES (never the
+        # region they just outran), demanding a wider slack since
+        # theirs are the fast-moving clouds
+        rec = recenter & any_in & ~self._full
+        if np.count_nonzero(rec) > 1:
+            slack2 = np.maximum(shape // 8, 2)
+            pool2 = []
+            for i in np.nonzero(rec)[0]:
+                placed = False
+                for st in pool2:
+                    if (np.all(cell_lo[i] >= st + slack2)
+                            and np.all(cell_hi[i]
+                                       <= st + shape - 1 - slack2)):
+                        starts[i] = st
+                        placed = True
+                        break
+                if not placed:
+                    starts[i] = centered[i]     # founder: exact center
+                    pool2.append(centered[i])
         starts = np.where(self._full[:, None], self._FULL, starts)
         self._recenter = None
         self._starts = starts

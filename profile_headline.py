@@ -5,10 +5,9 @@
    on the TPU, parses the xplane protobuf, and prints the top device
    ops with self-times — WHERE the per-step time actually goes.
 2. Measures the one untried SURVEY 7.3 mitigation: Morton/cell-sorted
-   atom ordering to localize the row gathers. Two variants:
-   (a) clouds pre-sorted by cell id at build time (upper bound: zero
-       runtime sort cost), and
-   (b) per-step on-device argsort of the 47 atoms by cell id.
+   atom ordering to localize the row gathers, as clouds pre-sorted by
+   cell id at build time — the ZERO-RUNTIME-COST upper bound on any
+   sorting scheme (a per-step on-device argsort can only do worse).
    Verdict rule: adopt anything >10%.
 
 Usage: python profile_headline.py [--steps 1000] [--replicas 1000]
@@ -70,7 +69,7 @@ def build(args, order="natural"):
     dev = jax.devices()[0]
     system, bindings, states, _ = bench.build_workload(
         dtype, dev, args.replicas)
-    if order in ("sorted", "runtime-sort"):
+    if order == "sorted":
         # per-replica Morton/cell sort of the atom axis. Bonded terms
         # reference atom indices, so for the measurement we sort the
         # GATHER side only: the grid binding's scaling columns and the
