@@ -211,6 +211,47 @@ def test_union_sharing_one_region(tmp_path):
     assert sset.packs_built <= 1
 
 
+def test_mixed_group_escalated_and_bounded_sets(tmp_path):
+    """A replica can be escalated in ONE StreamSet (its cloud outgrows
+    that set's region) while staying region-bound in another with a
+    bigger region. The group then dispatches on the host, and the
+    bounded set's payload must come from the host raw-region branch
+    (payload(host=True)) — falling through to the TPU pack would
+    round-trip a multi-GB table through the tunnel every segment. The
+    trajectory must still match the in-memory reference run."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    # set A: region far smaller than the ligand cloud -> every in-grid
+    # replica escalates to the full grid; set B: room to spare
+    ev_a = StreamedGridEvaluator(str(tmp_path / "charge.tiled"),
+                                 InterpolationMethod.BSPLINE,
+                                 region_shape=(12, 12, 12))
+    set_a = StreamSet([ev_a], [scals[0]])
+    set_b = StreamSet([evs[1]], [scals[1]])
+    states1 = jax.tree.map(lambda x: x[:1], states)   # one tame replica
+    md = StreamedBatchMD(sets=[set_a, set_b], system=system, dt=0.0005,
+                         friction=2.0, refresh_steps=10)
+    got = md.run(states1, 0.0, 30)
+    assert set_a.full_escalations >= 1
+    assert set_b.full_escalations == 0
+    assert len(set_b._host_regions) >= 1, \
+        "bounded set in a host group must use the host raw-region path"
+
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+    fused = combine_packed_grids([pack_grid(g) for g in grids])
+    bindings = [GridBinding(grid=fused,
+                            scaling=jnp.asarray(np.stack(scals)))]
+    run_mem = make_md_runner(10, dt=0.0005, friction=2.0)
+    want = states1
+    for _ in range(3):
+        want = run_mem(want, system, bindings,
+                       jnp.zeros((1,), jnp.float64))
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(want.positions),
+                               rtol=0, atol=1e-4)
+
+
 def test_region_pool_joins_clusters(tmp_path):
     """When the GLOBAL union of clouds no longer fits one region,
     assignment must still share the fewest regions (one per spatial
