@@ -375,15 +375,61 @@ class StreamedGridEvaluator:
         Atoms outside the FULL grid get the standard restraint (measured
         to the full grid box, not the region box); the region is chosen
         to contain all inside atoms, so region-local evaluation matches
-        full-grid evaluation exactly for them.
+        full-grid evaluation exactly for them. A cloud LARGER than the
+        configured region is evaluated exactly via region-sized spatial
+        chunks (per-atom grid evaluation is independent), mirroring the
+        reference's tiled one-shot evaluation, which prepares however
+        many tiles the cloud spans (gridForceTiled.cu).
         """
         import jax.numpy as jnp
 
-        grid, _ = self.region_grid(positions)
+        try:
+            grid, _ = self.region_grid(positions)
+        except ValueError:
+            return self._evaluate_chunked(positions, scaling)
         full_origin, full_corner = self.full_box
         return evaluate_streamed(grid, full_origin, full_corner,
                                  jnp.asarray(positions),
                                  jnp.asarray(scaling), self.oob_k)
+
+    def _evaluate_chunked(self, positions, scaling):
+        """Exact evaluation of a cloud larger than one region: bucket
+        the in-grid atoms on an aligned super-lattice sized so any
+        bucket's cloud + stencil halo fits one region, evaluate each
+        bucket against its own region, and stitch the per-atom results
+        (out-of-full-grid atoms ride with the first bucket — only the
+        restraint branch touches them)."""
+        import jax.numpy as jnp
+
+        pos = np.asarray(positions)
+        scal = np.broadcast_to(np.asarray(scaling), pos.shape[:1])
+        origin, corner = self.full_box
+        spacing = np.asarray(self.stream.spacing)
+        counts = np.asarray(self.stream.counts)
+        lo_h, hi_h = _HALO[self.interp_method]
+        shape = np.asarray(self.region_shape)
+        stride = np.maximum(shape - 1 - lo_h - hi_h, 1)
+        inside = np.all((pos >= origin) & (pos <= corner), axis=1)
+        cell = np.clip(((pos - origin) / spacing).astype(int),
+                       0, counts - 1)
+        bucket = cell // stride
+        if np.any(inside):
+            bucket[~inside] = bucket[np.argmax(inside)]
+        keys, inv = np.unique(bucket, axis=0, return_inverse=True)
+        n = pos.shape[0]
+        forces = np.zeros((n, 3), dtype=pos.dtype)
+        per_atom = np.zeros((n,), dtype=pos.dtype)
+        for b in range(keys.shape[0]):
+            idx = np.nonzero(inv == b)[0]
+            grid, _ = self.region_grid(pos[idx])
+            out = evaluate_streamed(grid, origin, corner,
+                                    jnp.asarray(pos[idx]),
+                                    jnp.asarray(scal[idx]), self.oob_k)
+            forces[idx] = np.asarray(out.forces, dtype=pos.dtype)
+            per_atom[idx] = np.asarray(out.per_atom_energy,
+                                       dtype=pos.dtype)
+        return GridEval(per_atom.sum(), jnp.asarray(forces),
+                        jnp.asarray(per_atom))
 
     def cache_stats(self):
         return self.stream.cache_stats()

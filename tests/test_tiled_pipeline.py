@@ -151,6 +151,45 @@ def test_streamed_md_stepping_trajectory_parity(tmp_path):
     assert e1 <= e0 + 1e-9
 
 
+def test_context_minimize_escalates_oversized_cloud_on_host(tmp_path):
+    """minimizeEnergy on a streamed grid whose configured region is
+    SMALLER than the particle cloud: assignment escalates to the
+    full-grid payload, which lives on the HOST CPU device and the
+    minimization segment runs there (mm.streamed_md host-escalation
+    semantics; a multi-GB full grid must never be uploaded to HBM).
+    Energy must still go down and the escalation must be recorded."""
+    n_rec = 12
+    rec_top, q, sig, eps = _fake_receptor(n_rec)
+    rec_pos = RNG.uniform(0.0, 1.0, (n_rec, 3))
+    counts = (16, 16, 16)
+    spacing = 0.07
+    system = gfp.create_system(rec_top)
+    g = gfp.GridForce()
+    g.addGridCounts(*counts)
+    g.addGridSpacing(spacing, spacing, spacing)
+    g.setGridOrigin(0.0, 0.0, 0.0)
+    g.setAutoGenerateGrid(True)
+    g.setGridType("charge")
+    g.setReceptorAtoms(list(range(n_rec)))
+    g.setReceptorPositionsFromLists(rec_pos)
+    g.setScalingFactors(q * 0.05)
+    g.setTiledOutputFile(str(tmp_path / "esc.tiled"), 8)
+    g.setTiledMode(True, tile_size=8)
+    g.setStreamRegionShape(8, 8, 8)      # cloud spans ~13 cells: too big
+    system.addForce(g)
+    ctx = gfp.Context(system, gfp.VerletIntegrator(0.0005))
+    ctx.setPositions(rec_pos * 0.8 + 0.1)
+    e0 = ctx.getState(getEnergy=True).getPotentialEnergy()
+    sim = gfp.Simulation(rec_top, ctx.system, ctx.integrator)
+    sim.context = ctx
+    sim.minimizeEnergy(maxIterations=20, tolerance=1.0)
+    e1 = ctx.getState(getEnergy=True).getPotentialEnergy()
+    assert e1 <= e0 + 1e-9
+    assert any(s.full_escalations > 0
+               for s in ctx._ensure_stream_engine().sets), \
+        "oversized cloud must have escalated to the host full grid"
+
+
 def test_context_streamed_detects_self_reversing_excursion(tmp_path):
     """Compat-API clone of
     test_streamed_batch_detects_self_reversing_excursion: Context
@@ -260,11 +299,14 @@ def test_evaluate_batch_scattered_replicas(tmp_path):
 
     got = ev.evaluate_batch(pos, scal)
     assert got.forces.shape == (n_rep, n_atoms, 3)
-    # the combined cloud spans many regions: the single-region path
-    # must refuse it...
-    with pytest.raises(ValueError):
-        ev.evaluate(pos.reshape(-1, 3), np.tile(scal, n_rep))
-    # ...while each replica matches the in-memory full-grid kernel
+    # the combined cloud spans many regions: one-shot evaluate handles
+    # it exactly via region-sized chunks (the reference's tiled
+    # one-shot path prepares however many tiles the cloud spans)...
+    flat = ev.evaluate(pos.reshape(-1, 3), np.tile(scal, n_rep))
+    np.testing.assert_allclose(
+        np.asarray(flat.per_atom_energy).reshape(n_rep, n_atoms),
+        np.asarray(got.per_atom_energy), rtol=1e-5, atol=1e-6)
+    # ...and each replica matches the in-memory full-grid kernel
     # (tiled FILE stores f32 values -> f32-level agreement)
     for r in range(n_rep):
         want = evaluate_grid(full, pos[r], scal)
