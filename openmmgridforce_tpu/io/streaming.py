@@ -342,8 +342,16 @@ class StreamedGridEvaluator:
         if scal.ndim == 1:
             scal = np.broadcast_to(scal, (n_rep, n_atoms))
 
-        starts = np.stack([self._aligned_region_for(p) for p in pos])
-        uniq, inverse = np.unique(starts, axis=0, return_inverse=True)
+        starts, big = [], []
+        for r, p in enumerate(pos):
+            try:
+                starts.append(self._aligned_region_for(p))
+            except ValueError:
+                starts.append(np.zeros(3, dtype=int))   # placeholder
+                big.append(r)                            # oversized cloud
+        starts = np.stack(starts)
+        big = np.asarray(big, dtype=int)
+        small = np.setdiff1d(np.arange(n_rep), big)
 
         if self._batch_eval is None:
             self._batch_eval = jax.jit(
@@ -353,17 +361,30 @@ class StreamedGridEvaluator:
         full_origin, full_corner = self.full_box
 
         perm, outs = [], []
-        for u in range(uniq.shape[0]):
-            grid, _ = self._region_cached(uniq[u])
-            idx = np.nonzero(inverse == u)[0]
-            # pad each group to a power of two: bounded recompiles
-            b = 1 << (len(idx) - 1).bit_length()
-            pad = np.concatenate([idx, np.repeat(idx[:1], b - len(idx))])
-            res = self._batch_eval(grid, full_origin, full_corner,
-                                   jnp.asarray(pos[pad]),
-                                   jnp.asarray(scal[pad]), self.oob_k)
-            perm.append(idx)
-            outs.append(jax.tree.map(lambda x: x[:len(idx)], res))
+        if small.size:
+            uniq, inverse = np.unique(starts[small], axis=0,
+                                      return_inverse=True)
+            for u in range(uniq.shape[0]):
+                grid, _ = self._region_cached(uniq[u])
+                idx = small[np.nonzero(inverse == u)[0]]
+                # pad each group to a power of two: bounded recompiles
+                b = 1 << (len(idx) - 1).bit_length()
+                pad = np.concatenate([idx,
+                                      np.repeat(idx[:1], b - len(idx))])
+                res = self._batch_eval(grid, full_origin, full_corner,
+                                       jnp.asarray(pos[pad]),
+                                       jnp.asarray(scal[pad]),
+                                       self.oob_k)
+                perm.append(idx)
+                outs.append(jax.tree.map(lambda x: x[:len(idx)], res))
+        # replicas whose own cloud exceeds one region: exact chunked
+        # evaluation (same guarantee as the reference's per-atom tile
+        # lookup, which never constrains the cloud extent)
+        for r in big:
+            out = self._evaluate_chunked(pos[r], scal[r])
+            perm.append(np.asarray([r]))
+            outs.append(jax.tree.map(lambda x: jnp.asarray(x)[None],
+                                     out))
         order = np.argsort(np.concatenate(perm))
         cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[order],
                            *outs)

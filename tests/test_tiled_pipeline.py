@@ -306,6 +306,19 @@ def test_evaluate_batch_scattered_replicas(tmp_path):
     np.testing.assert_allclose(
         np.asarray(flat.per_atom_energy).reshape(n_rep, n_atoms),
         np.asarray(got.per_atom_energy), rtol=1e-5, atol=1e-6)
+    # ...and a BATCH containing one replica whose own cloud exceeds a
+    # region mixes the grouped fast path with chunked evaluation
+    pos_mix = pos.copy()
+    pos_mix[3] = pos.reshape(-1, 3)[
+        RNG.choice(n_rep * n_atoms, n_atoms, replace=False)]
+    got_mix = ev.evaluate_batch(pos_mix, scal)
+    want3 = evaluate_grid(full, pos_mix[3], scal)
+    np.testing.assert_allclose(np.asarray(got_mix.per_atom_energy[3]),
+                               np.asarray(want3.per_atom_energy),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_mix.per_atom_energy[5]),
+                               np.asarray(got.per_atom_energy[5]),
+                               rtol=1e-6, atol=1e-7)
     # ...and each replica matches the in-memory full-grid kernel
     # (tiled FILE stores f32 values -> f32-level agreement)
     for r in range(n_rep):
