@@ -629,10 +629,16 @@ class Context:
             if info.streamer is None:
                 continue
             ev = info.streamer
+            # interp_method and per-grid oob_k are part of the key:
+            # pack fusion requires both to match across a set's grids
+            # (pack_grids_fused raises otherwise), so e.g. a TRILINEAR
+            # charge force and a BSPLINE LJ force over the same box
+            # must land in separate sets
             key = (tuple(int(c) for c in ev.stream.counts),
                    tuple(np.round(np.asarray(ev.stream.spacing), 12)),
                    tuple(np.round(np.asarray(ev.stream.origin), 12)),
                    tuple(ev.region_shape),
+                   int(ev.interp_method), float(ev.oob_k),
                    tuple(np.asarray(info.atom_indices).tolist()))
             groups.setdefault(key, []).append(info)
         sets = [
@@ -834,8 +840,13 @@ class Context:
         retries = 0
         while it < int(maxIterations):
             # region assignment for the CURRENT cloud (R=1), through the
-            # shared per-set hysteresis/re-centering machinery
+            # shared per-set hysteresis/re-centering machinery; a new
+            # round unpins last round's packs (else _round_keys grows
+            # with every region the descent ever visited and pinned
+            # packs eventually block all eviction)
             set_starts = []
+            for s in sets:
+                s.begin_round()
             for s in sets:
                 full_lo, full_hi = s.full_box
                 l0, h0 = _CLOUD_BOUNDS_JIT(
@@ -886,8 +897,17 @@ class Context:
                     sets[si]._recenter = np.array([True])
                 continue                   # discard segment, re-run
             retries = 0
+            rms = float(jnp.sqrt(jnp.mean(g2 * g2)))
+            stuck = int(it2) == it        # segment made no iterations
             x, st, it = x2, st2, int(it2)
-            if float(jnp.sqrt(jnp.mean(g2 * g2))) < float(tolerance):
+            if rms < float(tolerance):
+                break
+            if not np.isfinite(rms) or stuck:
+                # a non-finite gradient (overlapping atoms, inv-power
+                # pole) makes the jitted loop exit immediately with
+                # it2 == it0 and a NaN rms that satisfies neither
+                # comparison — re-running the identical segment would
+                # spin forever, so stop like the in-jit minimizer did
                 break
         self._positions = x
 

@@ -318,6 +318,14 @@ class StreamSet:
             grids.append(g)
             ilo = lo if ilo is None else np.maximum(ilo, lo)
             ihi = hi if ihi is None else np.minimum(ihi, hi)
+        # heterogeneous sets (mixed interpolation methods or per-grid
+        # oob_k) cannot fuse into one row table — evaluate them with
+        # the direct stencil kernels instead of letting the packer raise
+        if any(int(g.interp_method) != int(grids[0].interp_method)
+               or float(g.oob_k) != float(grids[0].oob_k)
+               for g in grids[1:]):
+            self.direct_builds += 1
+            return (tuple(grids), (ilo, ihi))
         method = int(grids[0].interp_method)
         ncells = int(np.prod(np.asarray(grids[0].counts) - 1))
         kcoef = {0: 8, 1: 64, 2: 64, 3: 216}[method]
@@ -623,35 +631,32 @@ class StreamedBatchMD:
         run = self._runners.get(key)
         if run is not None:
             return run
-        metas = []
-        for s in self.sets:
-            lo, hi = s.full_box
-            w = s.scatter_matrix(n_total)
-            idx = (None if s.atom_idx is None or w is None
-                   else jnp.asarray(s.atom_idx))
-            metas.append((np.asarray(lo), np.asarray(hi),
-                          float(s.oob_k),
-                          idx, None if w is None else jnp.asarray(w)))
+        metas = [(np.asarray(s.full_box[0]), np.asarray(s.full_box[1]),
+                  float(s.oob_k)) for s in self.sets]
         base_force = self.base_force
         step_factory = self.step_factory
 
-        def seg(states, base_args, payloads, scals, temps):
+        # subset gather/scatter arrays are ARGUMENTS (gathers), not
+        # closure captures: a dense one-hot scatter matrix for a large
+        # atom subset baked as an HLO constant would blow the tunneled
+        # compiler's ~100 MB program limit (CLAUDE.md jit-closure rule)
+        def seg(states, base_args, payloads, scals, temps, gathers):
             dtype = states.positions.dtype
             boxes = [(jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
-                     for lo, hi, _, _, _ in metas]
+                     for lo, hi, _ in metas]
 
-            def sub(x, meta):
-                return x if meta[3] is None else x[meta[3]]
+            def sub(x, g):
+                return x if g is None else x[g[0]]
 
             def one(state, t):
                 def force_fn(x):
                     f = base_force(base_args, x)
-                    for meta, (blo, bhi), pay, sc in zip(
-                            metas, boxes, payloads, scals):
-                        xi = sub(x, meta)
+                    for meta, (blo, bhi), pay, sc, g in zip(
+                            metas, boxes, payloads, scals, gathers):
+                        xi = sub(x, g)
                         if isinstance(pay, tuple):   # direct fallback
-                            fr = sum(evaluate_grid(g, xi, sc[gi]).forces
-                                     for gi, g in enumerate(pay))
+                            fr = sum(evaluate_grid(gr, xi, sc[gi]).forces
+                                     for gi, gr in enumerate(pay))
                         else:
                             fr = evaluate_multi(pay, xi, sc).forces
                         inside = jnp.all((xi >= blo) & (xi <= bhi),
@@ -661,7 +666,7 @@ class StreamedBatchMD:
                             jnp.where(xi > bhi, xi - bhi, 0.0))
                         fi = jnp.where(inside[:, None], fr,
                                        -meta[2] * dev)
-                        f = f + (fi if meta[4] is None else meta[4] @ fi)
+                        f = f + (fi if g is None else g[1] @ fi)
                     return f
 
                 step = step_factory(force_fn, t, base_args)
@@ -674,25 +679,26 @@ class StreamedBatchMD:
                     st, bbs = carry
                     st2 = step(st)
                     nb = []
-                    for meta, (blo, bhi), (rlo, rhi) in zip(metas, boxes,
-                                                            bbs):
-                        l2, h2 = _cloud_bounds(sub(st2.positions, meta),
+                    for g, (blo, bhi), (rlo, rhi) in zip(gathers, boxes,
+                                                         bbs):
+                        l2, h2 = _cloud_bounds(sub(st2.positions, g),
                                                blo, bhi)
                         nb.append((jnp.minimum(rlo, l2),
                                    jnp.maximum(rhi, h2)))
                     return (st2, tuple(nb)), None
 
                 bb0 = tuple(
-                    _cloud_bounds(sub(state.positions, meta), blo, bhi)
-                    for meta, (blo, bhi) in zip(metas, boxes))
+                    _cloud_bounds(sub(state.positions, g), blo, bhi)
+                    for g, (blo, bhi) in zip(gathers, boxes))
                 (st, bbs), _ = jax.lax.scan(
                     body, (state, bb0), None, length=n_steps, unroll=4)
                 return st, bbs
-            out, run_bbs = jax.vmap(one)(states, temps)
+            out, run_bbs = jax.vmap(
+                one, in_axes=(0, 0))(states, temps)
             per_set = []
-            for si, (meta, (blo, bhi)) in enumerate(zip(metas, boxes)):
-                xi = (out.positions if meta[3] is None
-                      else out.positions[:, meta[3]])
+            for si, (g, (blo, bhi)) in enumerate(zip(gathers, boxes)):
+                xi = (out.positions if g is None
+                      else out.positions[:, g[0]])
                 fin_lo, fin_hi = _cloud_bounds(xi, blo, bhi)
                 rlo, rhi = run_bbs[si]
                 per_set.append(jnp.concatenate(
@@ -702,6 +708,24 @@ class StreamedBatchMD:
         run = jax.jit(seg)
         self._runners[key] = run
         return run
+
+    def _gathers(self, n_total):
+        """Per-set (atom_idx, one-hot scatter) device arrays, or None
+        for whole-system sets; built once per n_total and passed to the
+        runner as arguments."""
+        key = ("gathers", n_total)
+        g = self._runners.get(key)
+        if g is None:
+            g = []
+            for s in self.sets:
+                w = s.scatter_matrix(n_total)
+                if s.atom_idx is None or w is None:
+                    g.append(None)
+                else:
+                    g.append((jnp.asarray(s.atom_idx), jnp.asarray(w)))
+            g = tuple(g)
+            self._runners[key] = g
+        return g
 
     def run(self, states: MDState, temperatures, n_steps: int,
             base_args=None, progress=None) -> MDState:
@@ -834,16 +858,18 @@ class StreamedBatchMD:
             host = bool((np.asarray(uniq[u]) < 0).any())
             payloads, interiors = group_payloads(u, host=host)
             t_sub = jnp.asarray(temps_sub, dtype)
+            gathers = self._gathers(n_total)
             if host:
                 cpu = jax.devices("cpu")[0]
                 main_dev = next(iter(states.positions.devices()))
                 args = jax.device_put(
-                    (subs, base_args, payloads, scal_args, t_sub), cpu)
+                    (subs, base_args, payloads, scal_args, t_sub,
+                     gathers), cpu)
                 out, b = runner(*args)
                 out = jax.device_put(out, main_dev)
             else:
                 out, b = runner(subs, base_args, payloads, scal_args,
-                                t_sub)
+                                t_sub, gathers)
             return out, b, interiors
 
         if uniq.shape[0] == 1:

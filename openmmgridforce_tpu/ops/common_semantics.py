@@ -8,8 +8,10 @@ inconsistent ways:
 - **Q6**: the out-of-bounds restraint FORCE is scaled by the atom's
   scaling factor while the restraint ENERGY is not
   (gridForce.cc:214-217, vs the explicit "Don't scale" comments of
-  gridForce.cu:480-482). An atom with scaling 0 outside the box feels
-  no restraint force but still reports the restraint energy.
+  gridForce.cu:480-482) — visible for any atom with 0 < scaling != 1.
+  An atom with scaling EXACTLY 0 is skipped entirely by the kernel's
+  early-out (gridForce.cc:40-45): no energy, no force, not even the
+  restraint (the default kernels still restrain such atoms).
 - inverse power is a BARE power transform applied whenever
   ``invPower > 0`` — no sign handling, no odd-power absolute-value
   dance, and no InvPowerMode check at all (gridForce.cc:180-187; the

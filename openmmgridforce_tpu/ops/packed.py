@@ -538,6 +538,22 @@ class MultiPackedGrid:
         return (nx - 1, ny - 1, nz - 1)
 
 
+@partial(jax.jit, static_argnames=("padded",))
+def _fuse_lanes(coeffs, padded):
+    """Write per-grid coefficient tables into one preallocated
+    lane-padded table with dynamic_update_slice (a lane-axis concatenate
+    of multi-GB tables crashes the TPU compiler — see
+    combine_packed_grids). Module-level so shape-identical fusions (e.g.
+    one per streamed region) reuse ONE compiled program instead of
+    tracing a fresh closure per call."""
+    out = jnp.zeros((coeffs[0].shape[0], padded), coeffs[0].dtype)
+    off = 0
+    for c in coeffs:
+        out = jax.lax.dynamic_update_slice(out, c, (0, off))
+        off += c.shape[-1]
+    return out
+
+
 def combine_packed_grids(packed_grids, lane_pad: int = 128
                          ) -> MultiPackedGrid:
     """Fuse PackedGrids with identical geometry/degree into one table."""
@@ -559,16 +575,8 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
     # crashes the TPU compiler at canonical grid sizes (observed:
     # 2 x [13.2M, 64] f32 -> HTTP 500 tpu_compile_helper exit 1), while
     # the same-size DUS program compiles and runs in under a second
-    @jax.jit
-    def fuse(*coeffs):
-        out = jnp.zeros((ncells, padded), coeffs[0].dtype)
-        off = 0
-        for c in coeffs:
-            out = jax.lax.dynamic_update_slice(out, c, (0, off))
-            off += c.shape[-1]
-        return out
-
-    flat = fuse(*[p.coeffs for p in packed_grids])
+    del ncells
+    flat = _fuse_lanes(tuple(p.coeffs for p in packed_grids), padded)
     return MultiPackedGrid(
         coeffs=flat,
         spacing=first.spacing,
@@ -939,16 +947,8 @@ def combine_hermite_packed(hps, lane_pad: int = 128
 
     # lane-axis concatenates of multi-GB tables crash the TPU compiler
     # (see combine_packed_grids); assemble with dynamic_update_slice
-    @jax.jit
-    def fuse(*coeffs):
-        out = jnp.zeros((ncells, padded), coeffs[0].dtype)
-        off = 0
-        for c in coeffs:
-            out = jax.lax.dynamic_update_slice(out, c, (0, off))
-            off += c.shape[-1]
-        return out
-
-    flat = fuse(*[p.coeffs for p in hps])
+    del ncells
+    flat = _fuse_lanes(tuple(p.coeffs for p in hps), padded)
     return MultiHermitePackedGrid(
         coeffs=flat, spacing=first.spacing, origin=first.origin,
         counts=first.counts, method=first.method, n_grids=G,
