@@ -515,8 +515,11 @@ def stage_hermite(args):
     # grid's packed rows = 13.19M cells x 256 lanes = 13.5 GB, over the
     # tunneled device's ~7.2 GB compiled-buffer limit even singly) —
     # stream regions instead
+    # tricubic at canonical scale: a 3-grid fused table is 13.19M cells
+    # x 192 lanes = 10.1 GB — always over the ~7.2 GB compiled-buffer
+    # limit, so don't waste a remote-compile attempt on "all"
     for fuse in ([args.fuse] if args.fuse != "auto"
-                 else (["all", "pair", "none"]
+                 else (["pair", "none"]
                        if args.method == "tricubic" else ["streamed"])):
         try:
             if fuse == "streamed":
