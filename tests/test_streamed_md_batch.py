@@ -211,6 +211,38 @@ def test_union_sharing_one_region(tmp_path):
     assert sset.packs_built <= 1
 
 
+def test_streamed_subset_atoms_matches_zero_scaled(tmp_path):
+    """A StreamSet acting on an atom SUBSET (gather + one-hot scatter
+    through the jitted runner) must match an in-memory run where the
+    same grid acts on all atoms with zero scaling outside the subset
+    (exact equivalence while every atom stays inside the grid)."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
+                                                pack_grid)
+    idx = np.arange(20)
+    states2 = jax.tree.map(lambda x: x[:2], states)
+    md = StreamedBatchMD(
+        sets=[StreamSet([evs[0]], [np.asarray(scals[0])[idx]],
+                        atom_indices=idx)],
+        system=system, dt=0.0005, friction=2.0, refresh_steps=10)
+    got = md.run(states2, 0.0, 20)
+
+    scal_full = np.zeros_like(scals[0])
+    scal_full[idx] = np.asarray(scals[0])[idx]
+    fused = combine_packed_grids([pack_grid(grids[0])])
+    bindings = [GridBinding(grid=fused,
+                            scaling=jnp.asarray(scal_full[None]))]
+    run_mem = make_md_runner(10, dt=0.0005, friction=2.0)
+    want = states2
+    for _ in range(2):
+        want = run_mem(want, system, bindings,
+                       jnp.zeros((2,), jnp.float64))
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(want.positions),
+                               rtol=0, atol=1e-4)
+
+
 def test_mixed_group_escalated_and_bounded_sets(tmp_path):
     """A replica can be escalated in ONE StreamSet (its cloud outgrows
     that set's region) while staying region-bound in another with a
