@@ -60,10 +60,13 @@ from .interpolate import GridEval
 
 def _poly_coeffs_from_fn(fn, n_outputs_shape, degree):
     """Fit exact monomial coefficients of polynomial basis functions by
-    solving a Vandermonde system at degree+1 nodes."""
+    solving a Vandermonde system at degree+1 nodes. Sampled under
+    enable_x64 so the (lru_cached) matrices are float64-exact even in an
+    f32 process — these matrices seed every pack contraction."""
     t = np.linspace(0.0, 1.0, degree + 1)
     V = np.vander(t, degree + 1, increasing=True)  # [nodes, powers]
-    vals = np.asarray(jax.vmap(fn)(jnp.asarray(t)))  # [nodes, *basis_shape]
+    with jax.enable_x64():
+        vals = np.asarray(jax.vmap(fn)(jnp.asarray(t, jnp.float64)))
     flat = vals.reshape(degree + 1, -1)
     coeffs = np.linalg.solve(V, flat)              # [powers, nbasis]
     return coeffs.reshape((degree + 1,) + n_outputs_shape)
@@ -88,6 +91,25 @@ def _hermite_axis_matrix(method: int) -> np.ndarray:
     if method == InterpolationMethod.TRIQUINTIC:
         return _poly_coeffs_from_fn(basis.hermite5_weights, (3, 2), 5)
     raise ValueError(method)
+
+
+@lru_cache(maxsize=None)
+def _hermite_axis_matrix_cheb(method: int) -> np.ndarray:
+    """Hc[p, m, s]: CHEBYSHEV coefficients (in T_p(2v-1)) of the Hermite
+    basis H_{m,s} — the monomial axis matrix composed with the
+    monomial->Chebyshev change of basis, in float64 on the host. Packing
+    with Hc produces Chebyshev cell coefficients DIRECTLY: the huge,
+    cancellation-prone monomial coefficients (1e8-1e10 on steep capped
+    triquintic fields) are never materialized, each axis contraction
+    yields bounded Chebyshev coefficients of a partial interpolant, and
+    the whole pack runs on-device in the grid's own dtype. (The previous
+    design packed in f64 THEN converted — which forced the contraction
+    onto the host CPU on f32 TPU processes, round-tripping every region's
+    derivative data through the tunnel.)"""
+    H = _hermite_axis_matrix(method)             # [d, m, s] monomial
+    d = H.shape[0]
+    B = _monomial_to_cheb(d)                     # [p, j]
+    return np.einsum("pj,jms->pms", B, H)
 
 
 @lru_cache(maxsize=None)
@@ -249,11 +271,15 @@ def _pack_values_padded(P, method, runtime_inv, inv_power, ncells):
 
 
 @partial(jax.jit, static_argnames=("method", "runtime_inv", "inv_power",
-                                   "counts"))
-def _pack_derivs(derivs, method, runtime_inv, inv_power, counts):
+                                   "counts", "out_basis"))
+def _pack_derivs(derivs, method, runtime_inv, inv_power, counts,
+                 out_basis="monomial"):
     nx, ny, nz = counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
-    H = jnp.asarray(_hermite_axis_matrix(method), dtype=derivs.dtype)
+    H = jnp.asarray(_hermite_axis_matrix(method)
+                    if out_basis == "monomial"
+                    else _hermite_axis_matrix_cheb(method),
+                    dtype=derivs.dtype)
     m = H.shape[1]  # 2 (tricubic) or 3 (triquintic)
     D27 = derivs
     if runtime_inv:
@@ -296,11 +322,14 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
     (bench-verified on v5e: 1153.7 vs 1157.5 tricubic steps/s), but
     Chebyshev coefficients stay O(max|P|) where triquintic monomial
     coefficients reach 1e8-1e10, so float32 evaluation remains ~1e-7
-    accurate on steep capped fields. Chebyshev packing always computes
-    the contraction in float64 before converting and casting. Default
-    (None): "chebyshev" for float32 Hermite-method packs (tricubic /
-    triquintic, where monomial f32 loses ~1 kJ/mol near receptor
-    cores), "monomial" otherwise.
+    accurate on steep capped fields. Hermite-method Chebyshev packs
+    contract with fused basis->Chebyshev axis matrices ON DEVICE in the
+    grid's dtype (monomial coefficients are never materialized, so no
+    f64 detour — and no host round-trip on tunneled backends); the
+    non-default value-method Chebyshev still converts from monomial in
+    f64 on the host. Default (None): "chebyshev" for float32
+    Hermite-method packs (tricubic / triquintic, where monomial f32
+    loses ~1 kJ/mol near receptor cores), "monomial" otherwise.
     """
     dtype = dtype or grid.vals.dtype
     if poly_basis is None:
@@ -311,8 +340,17 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
                       else "monomial")
     if poly_basis not in ("monomial", "chebyshev"):
         raise ValueError(f"unknown poly_basis {poly_basis!r}")
-    pack_dtype = jnp.float64 if poly_basis == "chebyshev" else dtype
     method = grid.interp_method
+    _hermite_method = method in (InterpolationMethod.TRICUBIC,
+                                 InterpolationMethod.TRIQUINTIC)
+    # Hermite Chebyshev packs contract with the FUSED basis->Chebyshev
+    # axis matrices: on-device, in the grid's own dtype — intermediates
+    # are bounded Chebyshev coefficients, so no f64 detour is needed.
+    # Value-method Chebyshev (non-default) still converts from monomial
+    # in f64.
+    pack_dtype = (jnp.float64
+                  if poly_basis == "chebyshev" and not _hermite_method
+                  else dtype)
     nx, ny, nz = grid.counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
 
@@ -334,7 +372,8 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
     else:
         if grid.derivs is None:
             raise ValueError("Hermite methods need precomputed derivatives")
-        _hermite_axis_matrix(int(method))
+        _hermite_axis_matrix(int(method))    # warm caches outside traces
+        _hermite_axis_matrix_cheb(int(method))
         degree = 4 if method == InterpolationMethod.TRICUBIC else 6
 
     def pack_slab(data, c0, c1):
@@ -365,10 +404,11 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
         return _pack_derivs(sl, method=int(method),
                             runtime_inv=runtime_inv,
                             inv_power=grid.inv_power,
-                            counts=(n_slab + 1, ny, nz))
+                            counts=(n_slab + 1, ny, nz),
+                            out_basis=poly_basis)
 
     def postprocess(coeffs):
-        if poly_basis == "chebyshev":
+        if poly_basis == "chebyshev" and value_based:
             coeffs = _coeffs_to_cheb(coeffs, degree)
         return coeffs.astype(dtype)
 
@@ -386,7 +426,8 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
                                    method=int(method),
                                    runtime_inv=runtime_inv,
                                    inv_power=grid.inv_power,
-                                   counts=grid.counts)
+                                   counts=grid.counts,
+                                   out_basis=poly_basis)
             return postprocess(out)
         # slabs STAY ON DEVICE (downloading packed slabs through a
         # tunneled backend costs minutes per GB) and are written into a
@@ -404,10 +445,11 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
             row += part.shape[0]
         return out
 
-    if poly_basis == "chebyshev" and not jax.config.jax_enable_x64:
-        # the conditioning win requires the pack contraction in f64;
-        # scope x64 to this block and run it on the host CPU backend
-        # (TPU backends have no native f64)
+    if (poly_basis == "chebyshev" and not _hermite_method
+            and not jax.config.jax_enable_x64):
+        # value-method Chebyshev goes through monomial coefficients, so
+        # its conversion needs f64; scope x64 to this block and run it
+        # on the host CPU backend (TPU backends have no native f64)
         with jax.enable_x64(), \
                 jax.default_device(jax.devices("cpu")[0]):
             coeffs = np.asarray(compute())
