@@ -115,7 +115,7 @@ def main():
     from openmmgridforce_tpu import Grid, InterpolationMethod
     from openmmgridforce_tpu.mm import GridBinding, make_md_runner
     from openmmgridforce_tpu.mm.integrators import (
-        make_respa_langevin_step, run_segment)
+        make_respa_langevin_step, run_respa_segment, run_segment)
     from openmmgridforce_tpu.mm.system import (_eval_grid,
                                                energy_and_forces)
     from openmmgridforce_tpu.ops import gridgen
@@ -189,7 +189,7 @@ def main():
                 step = make_respa_langevin_step(
                     slow, fast, system.masses, 0.001 * n_inner, n_inner,
                     5.0, t, constraints=system.constraints)
-                return run_segment(step, state, n_outer)
+                return run_respa_segment(step, slow, state, n_outer)
             return jax.vmap(one)(states, temperatures)
         return jax.jit(run)
 

@@ -64,6 +64,12 @@ def make_langevin_step(force_fn: Callable, masses, dt, friction,
     inv_m = (1.0 / masses)[:, None]
     a = jnp.exp(-friction * dt)
     kT = BOLTZ * temperature
+    # friction == 0 would make the classic force term 0/0 = NaN; use the
+    # ballistic limit (1-a)/gamma -> dt like OpenMM's LangevinIntegrator.
+    # The friction != 0 expression keeps the ORIGINAL operation order —
+    # an ulp-level reorder changes every f32 trajectory (chaotic
+    # sensitivity), which breaks reproducibility of published runs.
+    zero_friction = friction == 0.0
 
     if scheme == "classic":
         def step(state: MDState) -> MDState:
@@ -71,7 +77,9 @@ def make_langevin_step(force_fn: Callable, masses, dt, friction,
             key, sub = jax.random.split(key)
             f = force_fn(x)
             noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
-            v = (a * v + (1.0 - a) * f * inv_m / friction
+            kick = (dt * f * inv_m if zero_friction
+                    else (1.0 - a) * f * inv_m / friction)
+            v = (a * v + kick
                  + jnp.sqrt(kT * (1.0 - a * a) * inv_m) * noise)
             x_new = x + v * dt
             if constraints is not None:
@@ -139,13 +147,23 @@ def run_trajectory(step_fn: Callable, state: MDState, n_steps: int,
                    record_every: int = 1):
     """Run and record positions every ``record_every`` steps.
 
-    Returns (final_state, positions [n_steps // record_every, N, 3])."""
+    Returns (final_state, positions [n_steps // record_every, N, 3]).
+    ``n_steps`` must be a multiple of ``record_every`` — silently
+    simulating fewer steps than asked would corrupt any caller that
+    trusts the final state."""
+    if n_steps % record_every:
+        raise ValueError(
+            f"n_steps={n_steps} is not a multiple of "
+            f"record_every={record_every}; the trajectory would silently "
+            f"stop at {(n_steps // record_every) * record_every} steps")
+
     def inner(s, _):
         s2 = step_fn(s)
         return s2, None
 
     def body(s, _):
-        s, _ = jax.lax.scan(inner, s, None, length=record_every)
+        s, _ = jax.lax.scan(inner, s, None, length=record_every,
+                            unroll=4)
         return s, s.positions
 
     final, traj = jax.lax.scan(body, state, None,
@@ -181,6 +199,14 @@ def make_respa_langevin_step(slow_force_fn: Callable,
     Halves-to-quarters the grid-gather cost per unit simulated time while
     resolving bond vibrations at the small step. Not part of the
     reference's feature set; validated in tests/test_respa.py.
+
+    The returned step maps ``(MDState, f_slow) -> (MDState, f_slow)``:
+    the closing half-kick's slow force IS the next step's opening one
+    (same positions), so it is carried rather than recomputed — inside a
+    ``lax.scan`` XLA cannot CSE across iterations, and recomputing would
+    double the very cost the splitting amortizes. Use
+    :func:`run_respa_segment` (or seed the carry with
+    ``slow_force_fn(state.positions)``).
     """
     masses = jnp.asarray(masses)
     inv_m = (1.0 / masses)[:, None]
@@ -188,9 +214,9 @@ def make_respa_langevin_step(slow_force_fn: Callable,
                                friction, temperature,
                                constraints=constraints)
 
-    def step(state: MDState) -> MDState:
+    def step(carry):
+        state, f_slow = carry
         x, v, key = state
-        f_slow = slow_force_fn(x)
         v = v + 0.5 * dt_outer * f_slow * inv_m
         s = MDState(x, v, key)
         s = run_segment(inner, s, n_inner, unroll=n_inner)
@@ -199,6 +225,19 @@ def make_respa_langevin_step(slow_force_fn: Callable,
         if constraints is not None:
             from .constraints import apply_rattle
             v = apply_rattle(constraints, s.positions, v)
-        return MDState(s.positions, v, s.key)
+        return MDState(s.positions, v, s.key), f_slow2
 
     return step
+
+
+def run_respa_segment(step_fn: Callable, slow_force_fn: Callable,
+                      state: MDState, n_outer: int) -> MDState:
+    """Advance ``n_outer`` r-RESPA outer steps: ONE slow-force
+    evaluation per outer step (plus one to seed the carry)."""
+    carry = (state, slow_force_fn(state.positions))
+
+    def body(c, _):
+        return step_fn(c), None
+
+    (final, _), _ = jax.lax.scan(body, carry, None, length=n_outer)
+    return final

@@ -221,8 +221,14 @@ _METHODS = {
 
 
 def _back_transform(grid: Grid, interp, grad_s):
-    """Common inverse-power back-transform (gridForce.cu:419-435)."""
-    if grid.inv_power_mode not in (InvPowerMode.RUNTIME, InvPowerMode.STORED):
+    """Common inverse-power back-transform (gridForce.cu:419-435).
+
+    ``inv_power == 0`` disables the transform even when a mode is set
+    (matching the packed evaluators' back_power gate — n=0 would map
+    every value to +/-1)."""
+    if (grid.inv_power_mode not in (InvPowerMode.RUNTIME,
+                                    InvPowerMode.STORED)
+            or grid.inv_power == 0.0):
         return interp, grad_s
     n = grid.inv_power
     sign = jnp.where(interp >= 0.0, 1.0, -1.0)

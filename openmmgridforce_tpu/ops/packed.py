@@ -606,6 +606,13 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
                 or p.poly_basis != first.poly_basis):
             raise ValueError("grids must share counts/degree/oob_k/basis "
                              "to fuse")
+        if not (np.allclose(np.asarray(p.spacing),
+                            np.asarray(first.spacing))
+                and np.allclose(np.asarray(p.origin),
+                                np.asarray(first.origin))):
+            raise ValueError("grids must be co-located (same spacing and "
+                             "origin) to fuse — evaluation would use the "
+                             "first grid's geometry for all")
     G = len(packed_grids)
     K = first.coeffs.shape[-1]
     ncells = first.coeffs.shape[0]
@@ -663,6 +670,12 @@ def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
                 or g.oob_k != first.oob_k):
             raise ValueError(
                 "grids must share counts/method/oob_k to fuse")
+        if not (np.allclose(np.asarray(g.spacing),
+                            np.asarray(first.spacing))
+                and np.allclose(np.asarray(g.origin),
+                                np.asarray(first.origin))):
+            raise ValueError("grids must be co-located (same spacing and "
+                            "origin) to fuse")
     dtype = dtype or first.vals.dtype
     nx, ny, nz = first.counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
@@ -981,6 +994,13 @@ def combine_hermite_packed(hps, lane_pad: int = 128
         if (p.counts != first.counts or p.method != first.method
                 or p.oob_k != first.oob_k):
             raise ValueError("grids must share counts/method/oob_k to fuse")
+        if not (np.allclose(np.asarray(p.spacing),
+                            np.asarray(first.spacing))
+                and np.allclose(np.asarray(p.origin),
+                                np.asarray(first.origin))):
+            raise ValueError("grids must be co-located (same spacing and "
+                            "origin) to fuse")
+
     G = len(hps)
     K = first.coeffs.shape[-1]
     ncells = first.coeffs.shape[0]

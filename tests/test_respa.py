@@ -11,6 +11,7 @@ from openmmgridforce_tpu.mm.integrators import (MDState,
                                                 initialize_state,
                                                 make_langevin_step,
                                                 make_respa_langevin_step,
+                                                run_respa_segment,
                                                 run_segment)
 from openmmgridforce_tpu.ops import gridgen
 from openmmgridforce_tpu.ops.packed import evaluate_packed, pack_grid
@@ -63,12 +64,16 @@ def test_respa_thermalizes_like_plain_langevin():
         state = initialize_state(jax.random.PRNGKey(0), anchors, masses,
                                  300.0)
         n = 4000 if name == "plain" else 1000  # same simulated time
-        state = jax.jit(lambda s, st=step, nn=n: run_segment(st, s, nn))(
-            state)
+        if name == "respa":
+            def seg(s, nn, st=step):
+                return run_respa_segment(st, slow, s, nn)
+        else:
+            def seg(s, nn, st=step):
+                return run_segment(st, s, nn)
+        state = jax.jit(lambda s, nn=n: seg(s, nn))(state)
         samples = []
         for _ in range(15):
-            state = jax.jit(
-                lambda s, st=step: run_segment(st, s, 200))(state)
+            state = jax.jit(lambda s: seg(s, 200))(state)
             samples.append(float(instantaneous_temperature(state, masses)))
         temps[name] = np.mean(samples)
         assert np.all(np.isfinite(np.asarray(state.positions)))
