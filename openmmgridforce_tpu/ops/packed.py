@@ -355,7 +355,7 @@ def pack_grid(grid: Grid, dtype=None, x_chunk: int | None = None,
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
 
     if x_chunk is None and ncx * ncy * ncz > 2_000_000:
-        x_chunk = max(1, 64)
+        x_chunk = 64
 
     back_power = 0.0
     if grid.inv_power_mode in (InvPowerMode.RUNTIME, InvPowerMode.STORED) \
@@ -615,7 +615,6 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
                              "first grid's geometry for all")
     G = len(packed_grids)
     K = first.coeffs.shape[-1]
-    ncells = first.coeffs.shape[0]
     width = G * K
     padded = -(-width // lane_pad) * lane_pad
 
@@ -624,7 +623,6 @@ def combine_packed_grids(packed_grids, lane_pad: int = 128
     # crashes the TPU compiler at canonical grid sizes (observed:
     # 2 x [13.2M, 64] f32 -> HTTP 500 tpu_compile_helper exit 1), while
     # the same-size DUS program compiles and runs in under a second
-    del ncells
     flat = _fuse_lanes(tuple(p.coeffs for p in packed_grids), padded)
     return MultiPackedGrid(
         coeffs=flat,
@@ -1003,13 +1001,11 @@ def combine_hermite_packed(hps, lane_pad: int = 128
 
     G = len(hps)
     K = first.coeffs.shape[-1]
-    ncells = first.coeffs.shape[0]
     width = G * K
     padded = -(-width // lane_pad) * lane_pad
 
     # lane-axis concatenates of multi-GB tables crash the TPU compiler
     # (see combine_packed_grids); assemble with dynamic_update_slice
-    del ncells
     flat = _fuse_lanes(tuple(p.coeffs for p in hps), padded)
     return MultiHermitePackedGrid(
         coeffs=flat, spacing=first.spacing, origin=first.origin,
