@@ -146,6 +146,12 @@ def main():
         vs_baseline = value / baseline
         log(f"CPU single-replica stand-in: {cpu_single:,.1f} steps/s -> "
             f"serial {n_replicas}-replica baseline {baseline:,.2f} steps/s")
+        log("CAVEAT: vs_baseline uses a STAND-IN baseline (XLA-compiled "
+            "f32 single-replica CPU step / replica count), not the real "
+            "reference build — OpenMM is not installable in this image. "
+            "The stand-in is, if anything, FASTER than the reference's "
+            "serial f64 C++ loop, so vs_baseline is conservative "
+            "(BASELINE.md has the full argument).")
     except Exception as e:  # CPU backend unavailable: report raw value
         log(f"baseline measurement failed: {e}")
 

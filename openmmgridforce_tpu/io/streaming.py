@@ -20,7 +20,8 @@ from .native import NativeTileStream
 
 
 def evaluate_streamed(grid, full_origin, full_corner, positions,
-                      scaling, oob_k: float) -> GridEval:
+                      scaling, oob_k: float, *,
+                      return_gap_mask: bool = False):
     """Evaluate atoms on a region-resident grid, applying the
     out-of-bounds restraint of the FULL grid box (jit-compatible).
 
@@ -32,8 +33,15 @@ def evaluate_streamed(grid, full_origin, full_corner, positions,
     the full grid must be restrained toward the full box instead
     (reference semantics: ReferenceGridForceKernels.cpp's OOB branch is
     relative to the whole grid). Atoms inside the full grid but outside
-    the region get region-restraint values — callers must keep the cloud
-    inside the region (see ``StreamedGridEvaluator.region_grid``).
+    the region — "in the gap" — would silently receive the region's
+    restraint values; callers must keep the cloud inside the region
+    (see ``StreamedGridEvaluator.region_grid``). Pass
+    ``return_gap_mask=True`` to get ``(GridEval, gap_mask)`` where
+    ``gap_mask[n]`` flags exactly those silent-wrong atoms (active,
+    inside the full box, outside the region's box) so callers can
+    assert/retry instead of trusting containment discipline.
+    StreamedBatchMD enforces containment by construction (in-scan bbox
+    + re-centered retries); this output exists for direct callers.
     """
     import jax.numpy as jnp
 
@@ -55,7 +63,16 @@ def evaluate_streamed(grid, full_origin, full_corner, positions,
     active = inside_full & (jnp.asarray(scaling) != 0.0)
     per_atom = jnp.where(active, res.per_atom_energy, e_oob)
     forces = jnp.where(active[:, None], res.forces, f_oob)
-    return GridEval(jnp.sum(per_atom), forces, per_atom)
+    out = GridEval(jnp.sum(per_atom), forces, per_atom)
+    if not return_gap_mask:
+        return out
+    region_origin = jnp.asarray(grid.origin, positions.dtype)
+    region_corner = region_origin + (
+        jnp.asarray(grid.spacing, positions.dtype)
+        * (jnp.asarray(grid.counts, positions.dtype) - 1.0))
+    inside_region = jnp.all((positions >= region_origin)
+                            & (positions <= region_corner), axis=1)
+    return out, active & ~inside_region
 
 # stencil halo (grid points) needed on each side per method
 _HALO = {

@@ -127,3 +127,43 @@ def test_streamed_evaluation_matches_full_grid(tiled_file, method):
                                np.asarray(want.forces), rtol=1e-4,
                                atol=5e-4)
     ev.close()
+
+
+def test_evaluate_streamed_gap_mask():
+    """Atoms inside the full grid but outside the resident region would
+    silently take region-restraint values; return_gap_mask=True must
+    flag exactly those (and only active ones) so direct callers of
+    evaluate_streamed can't be silently wrong."""
+    from openmmgridforce_tpu.io.streaming import evaluate_streamed
+    from openmmgridforce_tpu.ops.packed import pack_grid
+
+    vals = RNG.standard_normal((9, 9, 9)).astype(np.float32)
+    spacing = (0.1, 0.1, 0.1)
+    region_origin = np.array([1.0, 1.0, 1.0])
+    region = Grid.create(vals, spacing, region_origin,
+                         interp_method=InterpolationMethod.TRILINEAR,
+                         dtype=np.float32)
+    # full box extends 0.5 nm beyond the region on every side
+    full_origin = region_origin - 0.5
+    full_corner = region_origin + 0.8 + 0.5
+
+    pos = np.array([
+        [1.4, 1.4, 1.4],     # inside region: not flagged
+        [1.0, 1.0, 0.7],     # in the gap (inside full, below region z)
+        [2.0, 1.4, 1.4],     # in the gap (inside full, beyond region x)
+        [0.2, 1.4, 1.4],     # outside the full box: restrained, no flag
+        [1.4, 2.0, 1.4],     # in the gap but scaling 0: no flag
+    ], dtype=np.float32)
+    scaling = np.array([1.0, 1.0, 1.0, 1.0, 0.0], dtype=np.float32)
+
+    for g in (region, pack_grid(region)):
+        res, gap = evaluate_streamed(g, full_origin, full_corner, pos,
+                                     scaling, oob_k=100.0,
+                                     return_gap_mask=True)
+        np.testing.assert_array_equal(
+            np.asarray(gap), [False, True, True, False, False])
+        # default call is unchanged (no mask, same values)
+        plain = evaluate_streamed(g, full_origin, full_corner, pos,
+                                  scaling, oob_k=100.0)
+        np.testing.assert_array_equal(np.asarray(plain.per_atom_energy),
+                                      np.asarray(res.per_atom_energy))

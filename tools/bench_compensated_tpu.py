@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Measure the compensated (double-float32) evaluation tier on the real
+TPU: f64-parity at the 1e-5 gate and in-scan throughput vs the plain f32
+packed tier (VERDICT r3 next #2 'at what steps/s cost').
+
+Sizing: the tier is for accuracy-gated pose scoring, so the benchmark
+uses an 81^3 window of the REAL canonical charge grid (the compensated
+row table for the full 13.2M-cell grid would be 6.75 GB — a ~18 min
+upload at the tunnel's 6.3 MB/s; windows are how pose scoring would
+deploy it). Timing follows CLAUDE.md rules: in-scan with a fake
+dependency, >=200 iterations per dispatch.
+
+Appends rows to BENCH_CANONICAL.jsonl (stage "compensated-tpu").
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import jax
+import jax.numpy as jnp
+
+import bench_canonical as bc
+from openmmgridforce_tpu import Grid, InterpolationMethod
+from openmmgridforce_tpu.ops.compensated import (evaluate_compensated,
+                                                 pack_grid_compensated)
+from openmmgridforce_tpu.ops.packed import evaluate_packed, pack_grid
+
+N_POINTS = 47_000
+N_ITERS = 200
+
+
+def in_scan_rate(fn, pos0, n_iters=N_ITERS):
+    """steps/s of fn(positions)->forces inside one lax.scan dispatch."""
+
+    def body(p, _):
+        f = fn(p)
+        # fake dependency: nudge positions by a zero-scaled force term
+        return p + 0.0 * f, None
+
+    @jax.jit
+    def run(p):
+        p, _ = jax.lax.scan(body, p, None, length=n_iters)
+        return p
+
+    jax.block_until_ready(run(pos0))          # compile + warm
+    t0 = time.time()
+    jax.block_until_ready(run(pos0))
+    return n_iters / (time.time() - t0)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr, flush=True)
+
+    vals = np.load(bc.vals_cache("charge")).astype(np.float32)
+    # 81^3 window centred in the canonical box
+    c = [n // 2 for n in bc.COUNTS]
+    w = 40
+    sub = vals[c[0] - w:c[0] + w + 1, c[1] - w:c[1] + w + 1,
+               c[2] - w:c[2] + w + 1]
+    sub_origin = (np.asarray(bc.ORIGIN)
+                  + (np.asarray(c) - w) * np.asarray(bc.SPACING))
+    g32 = Grid.create(sub, bc.SPACING, sub_origin,
+                      interp_method=InterpolationMethod.BSPLINE,
+                      dtype=np.float32)
+
+    rng = np.random.default_rng(3)
+    lo = sub_origin + 0.1
+    hi = sub_origin + (np.asarray(sub.shape) - 1) * np.asarray(
+        bc.SPACING) - 0.1
+    pos = rng.uniform(lo, hi, (N_POINTS, 3)).astype(np.float32)
+    ones = jnp.ones((N_POINTS,), jnp.float32)
+
+    plain = pack_grid(g32)
+    t0 = time.time()
+    comp = pack_grid_compensated(g32)
+    comp = jax.device_put(comp, dev)
+    jax.block_until_ready(comp.coeffs)
+    t_pack = time.time() - t0
+    print(f"compensated pack+upload ({comp.coeffs.nbytes / 1e6:.0f} MB): "
+          f"{t_pack:.1f}s", file=sys.stderr, flush=True)
+
+    posd = jax.device_put(jnp.asarray(pos), dev)
+    rate_plain = in_scan_rate(
+        lambda p: evaluate_packed(plain, p, ones).forces, posd)
+    rate_comp = in_scan_rate(
+        lambda p: evaluate_compensated(comp, p, ones).forces, posd)
+    print(f"plain {rate_plain:.1f} evals/s, compensated {rate_comp:.1f} "
+          f"evals/s ({rate_plain / rate_comp:.1f}x cost)",
+          file=sys.stderr, flush=True)
+
+    # parity on device vs f64 CPU truth at 2000 of the points
+    import jax.numpy as _j
+    sel = rng.choice(N_POINTS, 2000, replace=False)
+    got = np.asarray(
+        evaluate_compensated(comp, posd[sel], ones[:2000]).per_atom_energy,
+        np.float64)
+    with jax.enable_x64():
+        cpu = jax.devices("cpu")[0]
+        g64 = Grid.create(sub.astype(np.float64), bc.SPACING, sub_origin,
+                          interp_method=InterpolationMethod.BSPLINE,
+                          dtype=np.float64)
+        from openmmgridforce_tpu.ops.interpolate import evaluate_grid
+        with jax.default_device(cpu):
+            truth = np.asarray(evaluate_grid(
+                g64, pos[sel].astype(np.float64),
+                np.ones(2000)).per_atom_energy)
+    scale = np.abs(truth).max()
+    max_rel = float(np.abs(got - truth).max() / scale)
+    bc.emit({"stage": "compensated-tpu", "grid": "charge-window-81",
+             "points": N_POINTS, "iters": N_ITERS,
+             "plain_evals_per_s": round(rate_plain, 1),
+             "compensated_evals_per_s": round(rate_comp, 1),
+             "cost_ratio": round(rate_plain / rate_comp, 2),
+             "pack_upload_s": round(t_pack, 1),
+             "max_rel_vs_f64": max_rel, "gate": 1e-5,
+             "pass": bool(max_rel < 1e-5),
+             "device": str(dev)})
+
+
+if __name__ == "__main__":
+    main()
