@@ -154,6 +154,7 @@ def stage_gen(args):
         t0 = time.time()
         g = gridgen.generate_grid(COUNTS, SPACING, ORIGIN, gt, rec_x,
                                   rec.charges, rec.sigmas, rec.epsilons,
+                                  backend=args.backend,
                                   dtype=np.float32)
         v = np.asarray(g.vals)
         dt = time.time() - t0
@@ -161,6 +162,7 @@ def stage_gen(args):
         pts = int(np.prod(COUNTS))
         emit({"stage": "gen", "grid": gt, "points": pts,
               "seconds": round(dt, 2), "device": str(dev),
+              "backend": args.backend,
               "pair_evals_per_s": round(pts * rec_x.shape[0] / dt / 1e9,
                                         1)})
 
@@ -337,12 +339,14 @@ def stage_derivs(args):
             COUNTS, SPACING, ORIGIN, gt, rec_x, rec.charges, rec.sigmas,
             rec.epsilons, compute_derivatives=True,
             interp_method=InterpolationMethod.TRIQUINTIC,
+            backend=args.backend,
             dtype=np.float32)
         d = np.moveaxis(np.asarray(g.derivs), -1, 0)   # [27, nx, ny, nz]
         dt = time.time() - t0
         np.save(path, d)
         emit({"stage": "derivs", "grid": gt,
               "points": int(np.prod(COUNTS)), "seconds": round(dt, 2),
+              "backend": args.backend,
               "device": str(dev)})
 
 
@@ -423,9 +427,13 @@ def stage_accuracy(args):
                         g32, pts32, ones32).per_atom_energy),
                     # the accuracy tier (ops/compensated.py): f64
                     # Chebyshev pack of the same f32-stored data into
-                    # (hi|lo) f32 rows, double-word f32 evaluation
+                    # (hi|lo) f32 rows, double-word f32 evaluation;
+                    # exact f64 geometry (the f32 Grid's rounded
+                    # origin/spacing would shift the cell fraction by
+                    # ~1e-7*t — the dominant error at t~80)
                     "compensated-df32": np.asarray(evaluate_compensated(
-                        pack_grid_compensated(g32), pts,
+                        pack_grid_compensated(g32, origin=sub_origin,
+                                              spacing=SPACING), pts,
                         ones).per_atom_energy, np.float64),
                 }
                 fscale = np.abs(e64).max()
@@ -762,6 +770,8 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("gen")
     g.add_argument("--force", action="store_true")
+    g.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pallas"])
     sub.add_parser("parity")
     m = sub.add_parser("md")
     m.add_argument("--fuse", default="auto",
@@ -774,6 +784,8 @@ def main():
     m.add_argument("--dt-fs", type=float, default=0.5)
     d = sub.add_parser("derivs")
     d.add_argument("--force", action="store_true")
+    d.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pallas"])
     a = sub.add_parser("accuracy")
     a.add_argument("--windows", type=int, default=8)
     a.add_argument("--points", type=int, default=256)

@@ -168,21 +168,38 @@ def main():
     want_grids = run_job != "BC"
     if want_grids and args.generate_grids:
         from openmmgridforce_tpu.mm import GridBinding
-        from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
-                                                    pack_grid)
+        from openmmgridforce_tpu.ops.packed import (pack_grid,
+                                                    pack_grids_fused)
         grids = generate_grids(cfg, lig_crd, margin=1.0,
                                spacing=args.grid_spacing, dtype=dtype)
-        packs, scales = [], []
-        for gt, scale in [("charge", scale_q), ("ljr", scale_ljr),
-                          ("lja", scale_lja)]:
-            g = grids[gt].with_(
-                interp_method=int(InterpolationMethod.BSPLINE))
-            packs.append(pack_grid(g))
-            scales.append(np.asarray(scale))
-        # fused multi-grid: one gather per atom serves all three fields
-        bindings.append(GridBinding(
-            grid=combine_packed_grids(packs),
-            scaling=jnp.asarray(np.stack(scales), dtype)))
+        trio = [("charge", scale_q), ("ljr", scale_ljr),
+                ("lja", scale_lja)]
+        gs = [grids[gt].with_(
+            interp_method=int(InterpolationMethod.BSPLINE))
+            for gt, _ in trio]
+        # fused multi-grid: one gather per atom serves all three fields.
+        # A 3-grid B-spline row is 192 floats and lane-pads to 256, so
+        # at fine spacings the fused table exceeds the ~7.2 GB
+        # compiled-buffer ceiling of the tunneled device; fall back to a
+        # (charge+ljr | lja) pair fusion (exactly 128 + 64 lanes — same
+        # policy as bench_canonical._build_packs, device-assembled with
+        # pack_grids_fused so the HBM peak is table + one slab).
+        ncells = int(np.prod([c - 1 for c in gs[0].counts]))
+        if ncells * 256 * 4 > 6.8e9:
+            groups = [[0, 1], [2]]
+        else:
+            groups = [[0, 1, 2]]
+        for grp in groups:
+            scal = np.stack([np.asarray(trio[i][1]) for i in grp])
+            if len(grp) == 1:
+                bindings.append(GridBinding(
+                    grid=pack_grid(gs[grp[0]]),
+                    scaling=jnp.asarray(scal[0], dtype)))
+            else:
+                bindings.append(GridBinding(
+                    grid=pack_grids_fused([gs[i] for i in grp],
+                                          lane_pad=64),
+                    scaling=jnp.asarray(scal, dtype)))
     elif want_grids:
         gpaths = require(cfg, "grids", "the top level (or pass "
                          "--generate-grids)")

@@ -77,13 +77,23 @@ class CompensatedPackedGrid:
 
 
 def pack_grid_compensated(grid: Grid, x_chunk: int | None = None,
-                          lane_pad: int = 128) -> CompensatedPackedGrid:
+                          lane_pad: int = 128, origin=None,
+                          spacing=None) -> CompensatedPackedGrid:
     """Pack a Grid into compensated (hi|lo) Chebyshev rows.
 
     Packing runs in float64 Chebyshev on the host CPU backend (exact to
     ~2^-52 of each coefficient), then splits each coefficient into an
     f32 pair. Works for all four interpolation methods; Hermite methods
     need grid.derivs as usual.
+
+    ``origin``/``spacing``: exact float64 geometry overrides. A float32
+    Grid carries geometry already ROUNDED to f32, and that rounding is
+    the dominant compensated-tier error on large grids: the cell
+    coordinate shifts by ~1e-7 * t cells, which multiplies by the
+    per-cell field slope (measured on the canonical 13.4M-pt grids at
+    t ~ 43: 3.5e-3 kJ/mol = 1.1e-6 of field scale — 20x the design
+    floor; with exact geometry the tier returns to ~5e-8). Pass the
+    f64 values whenever the caller still has them.
     """
     if jax.config.jax_enable_x64:
         p64 = pack_grid(grid, dtype=np.float64, x_chunk=x_chunk,
@@ -104,8 +114,10 @@ def pack_grid_compensated(grid: Grid, x_chunk: int | None = None,
     rows = np.zeros((ncells, padded), np.float32)
     rows[:, :K] = hi
     rows[:, K:2 * K] = lo
-    sp = np.asarray(grid.spacing, np.float64)
-    o_hi, o_lo = df_from_f64(np.asarray(grid.origin, np.float64))
+    sp = np.asarray(grid.spacing if spacing is None else spacing,
+                    np.float64)
+    o_hi, o_lo = df_from_f64(np.asarray(
+        grid.origin if origin is None else origin, np.float64))
     isp_hi, isp_lo = df_from_f64(1.0 / sp)
     # the f64 reference's inside test compares (pos - origin) against
     # fl64(spacing*(counts-1)); carry that exact corner as a df pair

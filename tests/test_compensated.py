@@ -245,3 +245,51 @@ def test_compensated_oob_and_inert_atoms():
                                np.asarray(ref.per_atom_energy), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got.forces, np.float64),
                                np.asarray(ref.forces), rtol=1e-6)
+
+
+def test_compensated_exact_geometry_override():
+    """A float32 Grid carries f32-ROUNDED origin/spacing; at large cell
+    coordinates that rounding shifts the fraction by ~1e-7*t and costs
+    ~20x the design floor on steep fields (found on the real canonical
+    grids, r4). pack_grid_compensated(origin=, spacing=) must restore
+    the exact-geometry accuracy."""
+    from openmmgridforce_tpu.ops.gridgen import generate_grid
+
+    spacing = 0.0125            # not exactly representable in f32
+    counts = (96, 8, 8)
+    origin = (1.00175115, 0.5328844699999999, 0.8606374500000002)
+    rng = np.random.default_rng(5)
+    rec = rng.uniform(0.3, 0.9, (8, 3)) + np.asarray(origin)
+    rec[:, 0] += 0.7            # off-center: probes reach large t_x
+    g64 = generate_grid(counts, (spacing,) * 3, origin, "lja", rec,
+                        rng.uniform(0.05, 0.5, 8), np.full(8, 0.3),
+                        np.full(8, 0.6), dtype=np.float64,
+                        interp_method=InterpolationMethod.BSPLINE)
+    g32 = dataclasses.replace(
+        g64, vals=jnp.asarray(np.asarray(g64.vals), jnp.float32),
+        spacing=jnp.asarray(np.asarray(g64.spacing), jnp.float32),
+        origin=jnp.asarray(np.asarray(g64.origin), jnp.float32))
+    # truth on the same stored data with exact geometry
+    g64c = dataclasses.replace(
+        g64, vals=jnp.asarray(np.asarray(g32.vals), jnp.float64))
+
+    pos = np.stack([rng.uniform(origin[0] + 0.9, origin[0] + 1.15, 60),
+                    rng.uniform(origin[1] + 0.02, origin[1] + 0.06, 60),
+                    rng.uniform(origin[2] + 0.02, origin[2] + 0.06, 60)],
+                   axis=1)
+    scal = np.ones(60)
+    truth = np.asarray(evaluate_grid(g64c, pos, scal).per_atom_energy)
+    scale = np.abs(truth).max()
+
+    rounded = evaluate_compensated(pack_grid_compensated(g32), pos, scal)
+    exact = evaluate_compensated(
+        pack_grid_compensated(g32, origin=origin, spacing=(spacing,) * 3),
+        pos, scal)
+    err_rounded = np.abs(np.asarray(rounded.per_atom_energy, np.float64)
+                         - truth).max()
+    err_exact = np.abs(np.asarray(exact.per_atom_energy, np.float64)
+                       - truth).max()
+    assert err_exact / scale < 1.5e-7, (err_exact, scale)
+    # the rounded-geometry pack must be measurably worse on this field
+    # (t_x ~ 75-90), or the test has lost its teeth
+    assert err_rounded > 3 * err_exact, (err_rounded, err_exact)

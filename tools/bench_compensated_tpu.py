@@ -78,7 +78,8 @@ def main():
 
     plain = pack_grid(g32)
     t0 = time.time()
-    comp = pack_grid_compensated(g32)
+    comp = pack_grid_compensated(g32, origin=sub_origin,
+                                 spacing=bc.SPACING)
     comp = jax.device_put(comp, dev)
     jax.block_until_ready(comp.coeffs)
     t_pack = time.time() - t0
