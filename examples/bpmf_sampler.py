@@ -107,6 +107,12 @@ def main():
         cfg = json.load(fh)
 
     import jax
+
+    # JAX_PLATFORMS=cpu alone may not stick against an ambient TPU
+    # plugin — pin the backend before the first device query (see
+    # CLAUDE.md; same pattern as bench_canonical.main)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import openmmgridforce_tpu  # noqa: F401 (enables compilation cache)

@@ -225,7 +225,13 @@ class Platform:
     ops/reference_semantics.py); ``Common``/``OpenCL`` selects the
     portable kernel's semantics (quirk Q6 scaled OOB restraint force,
     bare-pow inverse power, trilinear/B-spline only — see
-    ops/common_semantics.py); anything else (or None) selects the
+    ops/common_semantics.py); ``Compensated`` (alias ``Accurate``)
+    evaluates in-memory GridForces through the double-float32 accuracy
+    tier (ops/compensated.py: f64-packed (hi|lo) Chebyshev rows,
+    double-word f32 arithmetic, CUDA-convention semantics) — ~5e-8 of
+    field scale with zero on-device float64, at roughly an order of
+    magnitude more VPU flops; tiled/streamed GridForces under it keep
+    the plain streamed path. Anything else (or None) selects the
     engine's default CUDA-convention kernels."""
 
     def __init__(self, name):
@@ -250,7 +256,12 @@ class Context:
         name = str(name).lower()
         self._semantics = ("reference" if name == "reference"
                            else "common" if name in ("common", "opencl")
+                           else "compensated" if name in ("compensated",
+                                                          "accurate")
                            else "cuda")
+        # lazily built double-float32 packs (Platform("Compensated"));
+        # invalidated with the grid bindings on updateParametersInContext
+        self._comp_packs: Dict[int, object] = {}
         self._positions: Optional[jax.Array] = None
         self._velocities: Optional[jax.Array] = None
         self._key = jax.random.PRNGKey(seed)
@@ -440,7 +451,30 @@ class Context:
 
     def _rebind_force(self, force):
         self._initialize_forces()
+        self._comp_packs = {}
         self._invalidate_stepper()
+
+    def _compensated_pack(self, idx):
+        """The (hi|lo) double-float32 pack for in-memory GridForce
+        ``idx`` (Platform("Compensated")), built once per binding. The
+        force's own f64 origin/spacing are passed as exact-geometry
+        overrides: a float32 Grid's rounded geometry shifts the cell
+        fraction by ~1e-7*t, the dominant compensated-tier error on
+        large grids (see ops/compensated.pack_grid_compensated)."""
+        cp = self._comp_packs.get(idx)
+        if cp is None:
+            from ..ops.compensated import pack_grid_compensated
+            force = self.system.getForces()[idx]
+            _, spacing, _, _ = force.getGridParameters()
+            origin = force.getGridOrigin()
+            info = self._grid_infos[idx]
+            kw = {}
+            if len(spacing) == 3:
+                kw = dict(origin=np.asarray(origin, np.float64),
+                          spacing=np.asarray(spacing, np.float64))
+            cp = pack_grid_compensated(info.grid, **kw)
+            self._comp_packs[idx] = cp
+        return cp
 
     # --- evaluation ------------------------------------------------------
     def _per_force_terms(self, positions, grid_args=None, exclude=()):
@@ -499,6 +533,13 @@ class Context:
                     from ..ops.common_semantics import evaluate_grid_common
                     res = evaluate_grid_common(
                         info.grid if override is None else override,
+                        positions[info.atom_indices],
+                        info.scaling)
+                elif self._semantics == "compensated":
+                    from ..ops.compensated import evaluate_compensated
+                    res = evaluate_compensated(
+                        self._compensated_pack(idx) if override is None
+                        else override,
                         positions[info.atom_indices],
                         info.scaling)
                 else:
@@ -604,11 +645,15 @@ class Context:
                          if self._grid_infos[i].streamer is not None)
 
     def _grid_arguments(self):
-        """In-memory Grid pytrees to pass through jit as ARGUMENTS
+        """In-memory grid pytrees to pass through jit as ARGUMENTS
         (never baked as HLO constants — the remote TPU compiler rejects
         >~100 MB programs). Streamed forces are NOT returned here: the
-        streamed-MD engine owns their region payloads."""
+        streamed-MD engine owns their region payloads. Under
+        Platform("Compensated") the arguments are the (hi|lo) packs —
+        the same override channel, so stepping stays constant-free."""
         gidx = self._memory_grid_indices()
+        if self._semantics == "compensated":
+            return gidx, tuple(self._compensated_pack(i) for i in gidx)
         return gidx, tuple(self._grid_infos[i].grid for i in gidx)
 
     def _ensure_stream_engine(self):

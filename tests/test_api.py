@@ -478,3 +478,63 @@ def test_readme_quickstart(tmp_path):
     assert np.isfinite(e)
     ctx.getIntegrator().step(1000)
     assert np.all(np.isfinite(ctx.getPositions()))
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_platform_compensated():
+    """Platform("Compensated") evaluates GridForces through the
+    double-float32 accuracy tier: energies/forces must track the
+    default platform's f64 evaluation (same CUDA-convention semantics)
+    to ~1e-6 relative, from a pack whose storage is float32 — and
+    stepping must run through the same argument channel."""
+    top = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+
+    vals = np.abs(RNG.standard_normal(24 ** 3)) * 50.0 + 1.0
+
+    def build():
+        system = gfp.create_system(top)
+        g = gfp.GridForce()
+        g.addGridCounts(24, 24, 24)
+        g.addGridSpacing(0.05, 0.05, 0.05)
+        g.setGridOrigin(*(crd.min(0) - 0.15))
+        g.setGridValues(vals)
+        g.setScalingProperty("ljr")
+        g.setAutoCalculateScalingFactors(True)
+        system.addForce(g)
+        return system
+
+    ctx64 = gfp.Context(build(), gfp.VerletIntegrator(0.001))
+    ctx64.setPositions(crd)
+    e64 = ctx64.getState(getEnergy=True, getForces=True)
+
+    ctx_c = gfp.Context(build(), gfp.VerletIntegrator(0.001),
+                        gfp.Platform.getPlatformByName("Compensated"))
+    ctx_c.setPositions(crd)
+    ec = ctx_c.getState(getEnergy=True, getForces=True)
+
+    ref_e = e64.getPotentialEnergy()
+    assert ec.getPotentialEnergy() == pytest.approx(ref_e, rel=3e-6)
+    f64 = np.asarray(e64.getForces())
+    fc = np.asarray(ec.getForces())
+    fscale = np.abs(f64).max()
+    # exclude atoms sitting EXACTLY on grid nodes (origin is derived
+    # from crd.min): the gradient is discontinuous there, so f64 vs
+    # double-word arithmetic may land them in either adjacent cell —
+    # a branch-ambiguous tie, not an accuracy loss (values, compared
+    # above, stay continuous)
+    t = (crd - (crd.min(0) - 0.15)) / 0.05
+    off_node = (np.abs(t - np.round(t)) > 1e-9).all(axis=1)
+    np.testing.assert_allclose(fc[off_node], f64[off_node],
+                               atol=3e-6 * fscale)
+
+    # the pack flows through the stepping argument channel (no HLO
+    # constants), and the pack cache invalidates on parameter updates
+    gforce = [f for f in ctx_c.system.getForces()
+              if isinstance(f, gfp.GridForce)][0]
+    ctx_c.getIntegrator().step(3)
+    assert np.isfinite(np.asarray(
+        ctx_c.getState(getEnergy=True).getPotentialEnergy()))
+    assert len(ctx_c._comp_packs) == 1
+    gforce.updateParametersInContext(ctx_c)
+    assert len(ctx_c._comp_packs) == 0
