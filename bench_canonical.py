@@ -377,7 +377,9 @@ def stage_accuracy(args):
     methods = {"tricubic": InterpolationMethod.TRICUBIC,
                "triquintic": InterpolationMethod.TRIQUINTIC}
     win = 40            # window half-extent in grid points (0.5 nm)
-    for gt in GRID_TYPES:
+    grids = [g for g in (getattr(args, "grids", "") or "").split(",")
+             if g] or GRID_TYPES
+    for gt in grids:
         d27 = np.load(derivs_cache(gt), mmap_mode="r")
         for mname, method in methods.items():
             stats = {v: {"max_rel": 0.0, "scale": [], "pose": []}
@@ -787,6 +789,8 @@ def main():
     d.add_argument("--backend", default="auto",
                    choices=["auto", "jnp", "pallas"])
     a = sub.add_parser("accuracy")
+    a.add_argument("--grids", default="",
+                   help="comma list (default: charge,ljr,lja)")
     a.add_argument("--windows", type=int, default=8)
     a.add_argument("--points", type=int, default=256)
     a.add_argument("--r-min", type=float, default=0.12)

@@ -39,8 +39,8 @@ from ..grid import Grid, InterpolationMethod
 from .interpolate import GridEval
 from .packed import pack_grid
 from .twofloat import (df, df_add, df_add_f, df_from_f64, df_mul, df_mul_f,
-                       df_scale_pow2, df_sub, df_to, df_where, fast_two_sum,
-                       two_sum)
+                       df_scale_pow2, df_sub, df_sum, df_to, df_where,
+                       fast_two_sum, two_sum)
 
 
 @jax.tree_util.register_dataclass
@@ -287,14 +287,11 @@ def _evaluate_compensated_core(coeffs, origin_hi, origin_lo,
     per_atom = df_where(active, energy_in, df(energy_oob))
     forces = jnp.where(active[..., None], force_in, force_oob)
 
-    # total energy: df accumulation over every atom (and batch entry),
-    # collapsed to f32 only at the very end
-    flat = (per_atom[0].reshape(-1), per_atom[1].reshape(-1))
-
-    def body(carry, x):
-        return df_add(carry, x), None
-
-    tot, _ = jax.lax.scan(body, df(jnp.zeros((), jnp.float32)), flat)
+    # total energy: df tree reduction over every atom (and batch entry)
+    # — log2(N) vectorized double-word adds (a sequential per-atom scan
+    # would serialize the reduction on TPU) — collapsed to f32 only at
+    # the very end
+    tot = df_sum(per_atom)
     return df_to(tot), forces, df_to(per_atom)
 
 

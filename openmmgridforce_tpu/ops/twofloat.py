@@ -172,3 +172,24 @@ def df_scale_pow2(x, c):
 
 def df_where(cond, x, y):
     return (jnp.where(cond, x[0], y[0]), jnp.where(cond, x[1], y[1]))
+
+
+def df_sum(x):
+    """Sum a df pair of 1-D arrays to a df scalar by binary-tree
+    df_add: log2(N) VECTORIZED double-word adds instead of an N-step
+    sequential scan (which would serialize the whole reduction on TPU).
+    The tree order loses nothing: every partial stays a double-word
+    value, so the result carries the same ~u^2-per-level error bound."""
+    hi = jnp.asarray(x[0]).reshape(-1)
+    lo = jnp.asarray(x[1]).reshape(-1)
+    n = int(hi.shape[0])
+    if n == 0:
+        return jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
+    p = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+    if p != n:
+        hi = jnp.concatenate([hi, jnp.zeros(p - n, hi.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros(p - n, lo.dtype)])
+    while p > 1:
+        p //= 2
+        hi, lo = df_add((hi[:p], lo[:p]), (hi[p:], lo[p:]))
+    return hi[0], lo[0]

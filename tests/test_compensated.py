@@ -293,3 +293,21 @@ def test_compensated_exact_geometry_override():
     # the rounded-geometry pack must be measurably worse on this field
     # (t_x ~ 75-90), or the test has lost its teeth
     assert err_rounded > 3 * err_exact, (err_rounded, err_exact)
+
+
+def test_df_sum_tree_reduction():
+    """df_sum must match an f64 sum to ~u^2*log2(N) — including odd
+    lengths (zero padding) and mixed magnitudes that would collapse a
+    plain f32 sum."""
+    rng = np.random.default_rng(21)
+    for n in (1, 2, 7, 1000, 4097):
+        big = rng.standard_normal(n) * 1e6
+        small = rng.standard_normal(n) * 1e-3
+        x64 = big + small
+        hi, lo = tf.df_from_f64(x64)
+        s_hi, s_lo = jax.jit(tf.df_sum)((jnp.asarray(hi),
+                                         jnp.asarray(lo)))
+        got = np.float64(s_hi) + np.float64(s_lo)
+        want = x64.sum()
+        denom = max(abs(want), np.abs(x64).sum() * 1e-6)
+        assert abs(got - want) / denom < 1e-11, (n, got, want)
