@@ -158,13 +158,27 @@ def stage_gen(args):
                                   dtype=np.float32)
         v = np.asarray(g.vals)
         dt = time.time() - t0
+        # Warm re-run: same program shapes, so any jit/remote-compile
+        # cost is excluded — this separates "first-shape compile" from
+        # steady-state throughput (the r3 charge row's 350 s vs 12 s
+        # mystery was exactly this ambiguity).
+        t1 = time.time()
+        g2 = gridgen.generate_grid(COUNTS, SPACING, ORIGIN, gt, rec_x,
+                                   rec.charges, rec.sigmas, rec.epsilons,
+                                   backend=args.backend,
+                                   dtype=np.float32)
+        np.asarray(g2.vals)
+        dt_warm = time.time() - t1
         np.save(path, v)
         pts = int(np.prod(COUNTS))
         emit({"stage": "gen", "grid": gt, "points": pts,
-              "seconds": round(dt, 2), "device": str(dev),
+              "seconds": round(dt, 2),
+              "seconds_warm": round(dt_warm, 2),
+              "compile_overhead_s": round(max(0.0, dt - dt_warm), 2),
+              "device": str(dev),
               "backend": args.backend,
-              "pair_evals_per_s": round(pts * rec_x.shape[0] / dt / 1e9,
-                                        1)})
+              "pair_evals_per_s": round(
+                  pts * rec_x.shape[0] / dt_warm / 1e9, 1)})
 
 
 def stage_parity(args):

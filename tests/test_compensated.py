@@ -311,3 +311,30 @@ def test_df_sum_tree_reduction():
         want = x64.sum()
         denom = max(abs(want), np.abs(x64).sum() * 1e-6)
         assert abs(got - want) / denom < 1e-11, (n, got, want)
+
+
+def test_compensated_batched_replicas():
+    """Leading batch axes (the pose-scoring shape [R, N, 3]) must give
+    the same per-atom energies/forces as evaluating each replica
+    separately, and the total must be the df sum over the whole batch."""
+    grid = Grid.create(np.abs(RNG.standard_normal(COUNTS)) + 0.5,
+                       SPACING, ORIGIN,
+                       interp_method=InterpolationMethod.BSPLINE,
+                       oob_k=99.0, dtype=np.float64)
+    cp = pack_grid_compensated(grid)
+    rng = np.random.default_rng(31)
+    lo = np.asarray(ORIGIN)
+    hi = lo + (np.asarray(COUNTS) - 1) * np.asarray(SPACING)
+    pos = rng.uniform(lo - 0.05, hi + 0.05, (4, 20, 3))
+    scal = rng.standard_normal(20)
+
+    batched = evaluate_compensated(cp, pos, scal)
+    singles = [evaluate_compensated(cp, pos[r], scal) for r in range(4)]
+    np.testing.assert_array_equal(
+        np.asarray(batched.per_atom_energy),
+        np.stack([np.asarray(s.per_atom_energy) for s in singles]))
+    np.testing.assert_array_equal(
+        np.asarray(batched.forces),
+        np.stack([np.asarray(s.forces) for s in singles]))
+    want_total = sum(float(s.energy) for s in singles)
+    assert float(batched.energy) == pytest.approx(want_total, rel=1e-6)
