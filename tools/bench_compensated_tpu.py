@@ -30,8 +30,8 @@ from openmmgridforce_tpu.ops.compensated import (evaluate_compensated,
                                                  pack_grid_compensated)
 from openmmgridforce_tpu.ops.packed import evaluate_packed, pack_grid
 
-N_POINTS = 47_000
-N_ITERS = 200
+N_POINTS = int(os.environ.get("BENCH_COMP_POINTS", "47000"))
+N_ITERS = int(os.environ.get("BENCH_COMP_ITERS", "200"))
 
 
 def in_scan_rate(fn, pos0, n_iters=N_ITERS):
@@ -54,7 +54,17 @@ def in_scan_rate(fn, pos0, n_iters=N_ITERS):
 
 
 def main():
-    dev = jax.devices()[0]
+    # BENCH_DEVICE=cpu runs the same measurement on the host backend —
+    # a cost-RATIO proxy when the tunnel is down (the emitted row's
+    # "device" field says which backend produced it).
+    if os.environ.get("BENCH_DEVICE") == "cpu":
+        # pin the whole process to the host backend BEFORE the first
+        # device query (the backend choice is cached at first use, and
+        # an uncommitted jnp op would otherwise try to init the tunnel)
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices("cpu")[0]
+    else:
+        dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr, flush=True)
 
     vals = np.load(bc.vals_cache("charge")).astype(np.float32)
