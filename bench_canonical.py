@@ -390,6 +390,10 @@ def stage_accuracy(args):
                              replace=False)]
     methods = {"tricubic": InterpolationMethod.TRICUBIC,
                "triquintic": InterpolationMethod.TRIQUINTIC}
+    msel = [m for m in (getattr(args, "methods", "") or "").split(",")
+            if m]
+    if msel:
+        methods = {k: v for k, v in methods.items() if k in msel}
     win = 40            # window half-extent in grid points (0.5 nm)
     grids = [g for g in (getattr(args, "grids", "") or "").split(",")
              if g] or GRID_TYPES
@@ -805,6 +809,8 @@ def main():
     a = sub.add_parser("accuracy")
     a.add_argument("--grids", default="",
                    help="comma list (default: charge,ljr,lja)")
+    a.add_argument("--methods", default="",
+                   help="comma list (default: tricubic,triquintic)")
     a.add_argument("--windows", type=int, default=8)
     a.add_argument("--points", type=int, default=256)
     a.add_argument("--r-min", type=float, default=0.12)
