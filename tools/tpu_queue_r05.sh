@@ -49,6 +49,6 @@ run stress_gen 14400 python bench_canonical.py stress-gen --force
 # 12. post-fix stress MD rerun
 run stress_md 14400 python bench_canonical.py stress-md --skip-parity
 # 13. BPMF production workflow at canonical scale
-run bpmf 21600 python examples/bpmf_sampler.py tools/bpmf_canonical_input.json \
+run bpmf 21600 python examples/bpmf_sampler.py -i tools/bpmf_canonical_input.json \
     --generate-grids --grid-spacing 0.0125 --n-trials 50
 echo "queue complete"
