@@ -65,6 +65,25 @@ def emit(row):
     print(json.dumps(row), flush=True)
 
 
+def _drop_big_device_buffers(threshold=1 << 28):
+    """Delete every live device array over ``threshold`` bytes.
+
+    Used between fusion-strategy attempts: a failed attempt's multi-GB
+    packs otherwise stay resident (locals in the raised-through frames
+    pin them while the handler runs, and module-level jit caches can
+    keep donated aliases alive) and the retry OOMs on its first pack."""
+    import gc
+
+    import jax
+    gc.collect()
+    for buf in jax.live_arrays():
+        try:
+            if buf.nbytes > threshold:
+                buf.delete()
+        except Exception:
+            pass
+
+
 def load_amber():
     from openmmgridforce_tpu.mm import load_inpcrd, load_prmtop
     lig = load_prmtop(f"{DATA}/ligand.prmtop")
@@ -271,10 +290,22 @@ def _build_packs(dtype, fuse, method=None):
                                         scaling=jnp.asarray(scal,
                                                             dtype)))
         else:
-            packs = [one_pack(GRID_TYPES[i]) for i in grp]
-            multi = combine_packed_grids(packs, lane_pad=64)
+            # Hermite fused assembly, slab-wise straight into the fused
+            # table (combine_packed_grids needs every singleton pack
+            # PLUS the fused table resident — 13.5 GB for a canonical
+            # tricubic pair, measured RESOURCE_EXHAUSTED on 16 GB v5e)
+            gs = []
+            for i in grp:
+                d = np.load(derivs_cache(GRID_TYPES[i]), mmap_mode="r")
+                gs.append(Grid.create(
+                    np.ascontiguousarray(d[0]), SPACING, ORIGIN,
+                    derivs=np.moveaxis(d, 0, -1),
+                    interp_method=method, dtype=dtype))
+            multi = pack_grids_fused(gs, lane_pad=64)
             jax.block_until_ready(multi.coeffs)
-            del packs
+            del gs
+            log(f"  fused hermite pack ({len(grp)} grids): "
+                f"{multi.coeffs.nbytes / 1e9:.2f} GB")
             bindings.append(GridBinding(grid=multi,
                                         scaling=jnp.asarray(scal,
                                                             dtype)))
@@ -333,6 +364,13 @@ def stage_md(args):
                 f"{str(e)[:300]}")
             if args.fuse != "auto":
                 raise
+        # Outside the handler (exception tracebacks pin device buffers
+        # while the except block runs — CLAUDE.md): drop everything the
+        # failed attempt left alive before the next strategy, or its
+        # multi-GB packs eat the HBM the retry needs (measured: the
+        # fuse=none retry OOMed on the FIRST 3.4 GB pack after a
+        # fuse=pair combine failure).
+        _drop_big_device_buffers()
     raise SystemExit("all fusion strategies failed")
 
 
@@ -613,6 +651,13 @@ def stage_hermite(args):
                 f"{str(e)[:300]}")
             if args.fuse != "auto":
                 raise
+        # Outside the handler (exception tracebacks pin device buffers
+        # while the except block runs — CLAUDE.md): drop everything the
+        # failed attempt left alive before the next strategy, or its
+        # multi-GB packs eat the HBM the retry needs (measured: the
+        # fuse=none retry OOMed on the FIRST 3.4 GB pack after a
+        # fuse=pair combine failure).
+        _drop_big_device_buffers()
     raise SystemExit("all fusion strategies failed")
 
 

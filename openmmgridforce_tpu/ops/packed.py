@@ -653,16 +653,25 @@ def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
     ``lane_pad`` defaults to 64 (not 128): gathers are priced per
     128-lane tile, so a 3-grid B-spline row of 192 floats costs the
     same two tiles padded to 256 or not — padding past the next
-    64-boundary only burns HBM. Value-based methods only (Hermite f32
-    packs contract in f64 on the CPU backend — see pack_grid)."""
+    64-boundary only burns HBM.
+
+    Hermite methods (tricubic / triquintic) fuse too: their f32
+    Chebyshev packs contract ON DEVICE with the fused basis->Chebyshev
+    axis matrices (see pack_grid), so each derivative slab flows
+    straight into the fused table. At canonical scale this is the ONLY
+    way to build a fused tricubic pair: combine_packed_grids needs
+    both 3.4 GB singletons PLUS the 6.8 GB fused table resident
+    (13.5 GB peak, measured RESOURCE_EXHAUSTED on a 16 GB v5e), while
+    this path peaks at the fused table plus one slab."""
     first = grids[0]
     method = first.interp_method
-    if method not in (InterpolationMethod.TRILINEAR,
-                      InterpolationMethod.BSPLINE):
-        raise ValueError(
-            "pack_grids_fused handles value-based methods only "
-            "(trilinear / B-spline); pack Hermite grids with "
-            "pack_grid + combine_packed_grids")
+    hermite = method in (InterpolationMethod.TRICUBIC,
+                         InterpolationMethod.TRIQUINTIC)
+    if not hermite and method not in (InterpolationMethod.TRILINEAR,
+                                      InterpolationMethod.BSPLINE):
+        raise ValueError(f"unsupported interpolation method {method}")
+    if hermite and any(g.derivs is None for g in grids):
+        raise ValueError("Hermite methods need precomputed derivatives")
     for g in grids[1:]:
         if (g.counts != first.counts or g.interp_method != method
                 or g.oob_k != first.oob_k):
@@ -678,14 +687,28 @@ def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
     nx, ny, nz = first.counts
     ncx, ncy, ncz = nx - 1, ny - 1, nz - 1
     ncells = ncx * ncy * ncz
-    degree = 2 if method == InterpolationMethod.TRILINEAR else 4
+    if method == InterpolationMethod.TRILINEAR:
+        degree = 2
+    elif method == InterpolationMethod.TRIQUINTIC:
+        degree = 6
+    else:
+        degree = 4                      # B-spline / tricubic
     K = degree ** 3
     G = len(grids)
     width = G * K
     padded = -(-width // lane_pad) * lane_pad
     if x_chunk is None:
         x_chunk = ncx if ncells <= 2_000_000 else 64
-    _value_axis_matrix(int(method))     # warm cache outside any trace
+    # same basis choice as pack_grid's default: Chebyshev for f32
+    # Hermite packs (bounded coefficients on steep capped fields)
+    poly_basis = ("chebyshev"
+                  if hermite and jnp.dtype(dtype) == jnp.float32
+                  else "monomial")
+    if hermite:
+        _hermite_axis_matrix(int(method))   # warm caches outside traces
+        _hermite_axis_matrix_cheb(int(method))
+    else:
+        _value_axis_matrix(int(method))     # warm cache outside any trace
 
     out = jnp.zeros((ncells, padded), dtype)
     back_powers = []
@@ -697,22 +720,32 @@ def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
                 and g.inv_power != 0.0) else 0.0)
         runtime_inv = (g.inv_power_mode == InvPowerMode.RUNTIME
                        and g.inv_power != 0.0)
-        data = g.vals
+        data = g.derivs if hermite else g.vals
         row = 0
         for c0 in range(0, ncx, x_chunk):
             c1 = min(c0 + x_chunk, ncx)
             n_slab = c1 - c0
-            if method == InterpolationMethod.BSPLINE:
-                lo = max(c0 - 1, 0)
-                hi = min(c1 + 3, nx)
-                sl = jnp.asarray(data[lo:hi], dtype=dtype)
-                sl = jnp.pad(sl, ((lo - (c0 - 1), (c1 + 3) - hi),
-                                  (1, 2), (1, 2)), mode="edge")
-            else:
+            if hermite:
+                # slab spans grid points [c0, c1]: the one-plane
+                # stencil overlap Hermite cells need
                 sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
-            part = _pack_values_padded(
-                sl, method=int(method), runtime_inv=runtime_inv,
-                inv_power=g.inv_power, ncells=(n_slab, ncy, ncz))
+                part = _pack_derivs(
+                    sl, method=int(method), runtime_inv=runtime_inv,
+                    inv_power=g.inv_power,
+                    counts=(n_slab + 1, ny, nz),
+                    out_basis=poly_basis).astype(dtype)
+            else:
+                if method == InterpolationMethod.BSPLINE:
+                    lo = max(c0 - 1, 0)
+                    hi = min(c1 + 3, nx)
+                    sl = jnp.asarray(data[lo:hi], dtype=dtype)
+                    sl = jnp.pad(sl, ((lo - (c0 - 1), (c1 + 3) - hi),
+                                      (1, 2), (1, 2)), mode="edge")
+                else:
+                    sl = jnp.asarray(data[c0:c1 + 1], dtype=dtype)
+                part = _pack_values_padded(
+                    sl, method=int(method), runtime_inv=runtime_inv,
+                    inv_power=g.inv_power, ncells=(n_slab, ncy, ncz))
             out = _write_rows(out, part, row, gi * K)
             row += part.shape[0]
 
@@ -725,7 +758,7 @@ def pack_grids_fused(grids, dtype=None, x_chunk: int | None = None,
         n_grids=G,
         back_powers=tuple(back_powers),
         oob_k=first.oob_k,
-        poly_basis="monomial",
+        poly_basis=poly_basis,
     )
 
 
