@@ -45,6 +45,15 @@ run hermite_triquintic 10800 python bench_canonical.py hermite --method triquint
 run bpmf 12600 python examples/bpmf_sampler.py -i tools/bpmf_canonical_input.json \
     --generate-grids --grid-spacing 0.0125 --n-trials 50 \
     --work-dir bench_logs/bpmf_canonical
+# summarize the BPMF run into a BENCH_CANONICAL row (works on a
+# timeout-killed run too — partial evidence still counts)
+if [ ! -f bench_logs/r05_bpmf_row.done ]; then
+    python tools/emit_bpmf_row.py bench_logs/r05_bpmf.log \
+        bench_logs/bpmf_canonical tools/bpmf_canonical_input.json \
+        && touch bench_logs/r05_bpmf_row.done
+    git add -A bench_logs BENCH_CANONICAL.jsonl 2>/dev/null
+    git commit -q -m "r05 TPU evidence: bpmf production row" || true
+fi
 # 11. stress-scale tiled generation (rebuilds 2.5 GB tiled files lost
 #     in the machine restart)
 run stress_gen 10800 python bench_canonical.py stress-gen --force
