@@ -372,8 +372,10 @@ def stage_md(args):
                   "device": str(jax.devices()[0])})
             return
         except Exception as e:
+            import traceback
             log(f"fuse={fuse} failed: {type(e).__name__}: "
                 f"{str(e)[:300]}")
+            log(traceback.format_exc())
             if args.fuse != "auto":
                 raise
         # Outside the handler (exception tracebacks pin device buffers
@@ -592,7 +594,7 @@ def _streamed_hermite_row(args, method, dtype):
     # region = ligand span + stencil halo + drift margin per side
     span = crd.max(0) - crd.min(0)
     need = np.ceil(span / np.asarray(SPACING)).astype(int) + 1 + 3
-    rshape = tuple(int(n + 2 * 16) for n in need)
+    rshape = tuple(int(n + 2 * args.margin) for n in need)
     ncells = int(np.prod(np.asarray(rshape) - 1))
     log(f"  streamed region {rshape} ({ncells / 1e6:.1f}M cells)")
     evs = [StreamedGridEvaluator(_ensure_hermite_tiled(gt), method,
@@ -662,8 +664,10 @@ def stage_hermite(args):
                   "device": str(jax.devices()[0])})
             return
         except Exception as e:
+            import traceback
             log(f"fuse={fuse} failed: {type(e).__name__}: "
                 f"{str(e)[:300]}")
+            log(traceback.format_exc())
             if args.fuse != "auto":
                 raise
         # Outside the handler (exception tracebacks pin device buffers
@@ -839,6 +843,11 @@ def stage_stress_md(args):
 
 
 def main():
+    # A deep-but-legitimate Python recursion inside a canonical-scale
+    # stage must fail with a stack we can read, not a 1000-frame cap
+    # (the r5 streamed-triquintic row died with a bare RecursionError
+    # and no traceback at the default limit)
+    sys.setrecursionlimit(50000)
     # CPU stages (parity, accuracy) need the backend pinned BEFORE any
     # jax op (the tunneled TPU plugin otherwise claims the default
     # backend) and x64 for the f64 truth evaluations
@@ -882,6 +891,11 @@ def main():
                    choices=["auto", "all", "pair", "none", "streamed"])
     h.add_argument("--replicas", type=int, default=1000)
     h.add_argument("--steps", type=int, default=1000)
+    # streamed-row drift headroom: 1000 thermally-diverging replicas at
+    # margin 16 fragmented the region pool and every re-pack pays a
+    # ~440 MB raw-region upload through the tunnel (measured r5: the
+    # timed run spent its whole budget rebuilding regions)
+    h.add_argument("--margin", type=int, default=16)
     # same physics note as `md`: dt=1 fs resonates in the deep capped
     # wells the canonical resolution resolves
     h.add_argument("--dt-fs", type=float, default=0.5)

@@ -101,6 +101,15 @@ def main():
                     help="additionally shard the fused grid table "
                          "spatially over this many devices per replica "
                          "group (total devices = dp * sp)")
+    ap.add_argument("--singleton-lanes", type=int, default=64,
+                    choices=[64, 128],
+                    help="row width of the un-fused third pack in the "
+                         "pair-fusion split. 64 = least HBM (9.6 GiB of "
+                         "args; needs OPENMMGRIDFORCE_SHAKE_STATIC to "
+                         "avoid the nested-while grid-copy OOM at "
+                         "canonical scale). 128 = canonical-layout rows "
+                         "(12.7 GiB of args, copy-proof but within "
+                         "~1 GiB of the device allocator ceiling)")
     args = ap.parse_args()
 
     with open(args.input) as fh:
@@ -195,16 +204,28 @@ def main():
             groups = [[0, 1], [2]]
         else:
             groups = [[0, 1, 2]]
+        # Canonical-scale HBM notes (r5 bpmf logs). The two OOM modes:
+        #  - 64-lane singleton + nested SHAKE while_loop: XLA:TPU
+        #    copy-inserts a PADDED 6.37 GiB duplicate of the singleton
+        #    inside the segment program (16.18 GiB > 15.75 capacity).
+        #    Mitigation: OPENMMGRIDFORCE_SHAKE_STATIC straightens the
+        #    constraint loop (same step-program shape as the bench MD
+        #    runner, which compiles these packs copy-free).
+        #  - both tables padded to 128 lanes: the 12.7 GiB of arguments
+        #    plus a 1 GB packing slab tripped the runtime allocator.
+        #    Mitigation: x_chunk=16 (0.26 GB slabs) and --singleton-lanes
+        #    to choose the trade.
         for grp in groups:
             scal = np.stack([np.asarray(trio[i][1]) for i in grp])
-            if len(grp) == 1:
+            if len(grp) == 1 and len(groups) == 1:
                 bindings.append(GridBinding(
                     grid=pack_grid(gs[grp[0]]),
                     scaling=jnp.asarray(scal[0], dtype)))
             else:
+                lanes = (args.singleton_lanes if len(grp) == 1 else 64)
                 bindings.append(GridBinding(
                     grid=pack_grids_fused([gs[i] for i in grp],
-                                          lane_pad=64),
+                                          lane_pad=lanes, x_chunk=16),
                     scaling=jnp.asarray(scal, dtype)))
     elif want_grids:
         gpaths = require(cfg, "grids", "the top level (or pass "

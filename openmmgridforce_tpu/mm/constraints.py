@@ -15,10 +15,29 @@ RATTLE removes relative velocity along the constrained bonds.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _static_iters() -> int:
+    """Fixed sweep count for the statically-unrolled constraint solver.
+
+    0 (default) keeps the convergence-tested ``lax.while_loop``. Setting
+    ``OPENMMGRIDFORCE_SHAKE_STATIC=<n>`` replaces both SHAKE and RATTLE
+    loops with ``n`` straight-line Jacobi sweeps (no inner ``while`` in
+    the compiled program). Measured motivation (r5): nesting the SHAKE
+    while_loop inside the MD step scan made XLA:TPU copy-insert a full
+    padded duplicate of a loop-invariant 3.2 GB packed-grid argument
+    (6.37 GiB HLO temp -> HBM OOM at canonical scale in the BPMF
+    sampler); the same step program without the inner while compiles
+    with zero grid copies. The fixed-point iteration is idempotent at
+    convergence, so extra sweeps only cost time, never accuracy — n
+    should be >= the while version's typical sweep count (a few tens
+    for H-bond stars)."""
+    return int(os.environ.get("OPENMMGRIDFORCE_SHAKE_STATIC", "0"))
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +112,12 @@ def apply_shake(cs: ConstraintSet, x_ref, x_new, tol=1e-5, max_iter=150,
         _, err, it = state
         return (err > 2.0 * tol) & (it < max_iter)
 
+    n_static = _static_iters()
+    if n_static:
+        state = (x_new, jnp.inf, 0)
+        for _ in range(n_static):
+            state = body(state)
+        return state[0]
     x, err, _ = jax.lax.while_loop(cond, body,
                                    body((x_new, jnp.inf, 0)))
     return x
@@ -118,6 +143,12 @@ def apply_rattle(cs: ConstraintSet, x, v, tol=1e-8, max_iter=100,
         err = jnp.max(jnp.abs(vrel))
         return v, err, it + 1
 
+    n_static = _static_iters()
+    if n_static:
+        state = (v, jnp.inf, 0)
+        for _ in range(n_static):
+            state = body(state)
+        return state[0]
     v, err, _ = jax.lax.while_loop(
         lambda s: (s[1] > tol) & (s[2] < max_iter), body,
         body((v, jnp.inf, 0)))

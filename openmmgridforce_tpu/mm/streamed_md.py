@@ -909,6 +909,19 @@ class StreamedBatchMD:
             fins.append(fin)
             for gi, idx in enumerate(perm):
                 bad = s.check(run_b, group_interiors[gi][si], idx)
+                if bad.size and s._full is not None:
+                    # Replicas already on the full-grid payload are
+                    # EXEMPT from this set's containment check: their
+                    # segment ran on the exact full field, so there is
+                    # nothing better for a retry to stream in. Without
+                    # this, an f32 running bbox grazing the f64 full-box
+                    # corner (a half-ulp band OOB-restrained atoms cross
+                    # every segment) re-flags the replica after every
+                    # escalate — escalate() is a no-op for it — and
+                    # _run_chunk recurses at constant depth forever
+                    # (the r5 canonical streamed-triquintic bare
+                    # RecursionError).
+                    bad = bad[~s._full[bad]]
                 if bad.size:
                     bad_all.append(bad)
         if bad_all:

@@ -109,3 +109,41 @@ def test_constraints_under_vmap():
     x_c = jax.vmap(lambda xn: apply_shake(cs, x_ref, xn))(x_new)
     d = np.linalg.norm(np.asarray(x_c[:, 0] - x_c[:, 1]), axis=1)
     np.testing.assert_allclose(d, 0.1, atol=2e-5)
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_static_iters_matches_while(monkeypatch):
+    """OPENMMGRIDFORCE_SHAKE_STATIC=n replaces the lax.while_loop with n
+    straight-line Jacobi sweeps (no inner `while` in the compiled
+    program — the XLA:TPU copy-insertion workaround measured in the r5
+    BPMF OOM). At convergence the fixed point is identical: both solvers
+    must land on the same constrained positions/velocities."""
+    top = load_prmtop(f"{DATA}/ligand.prmtop")
+    crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    system = system_from_amber(top, hydrogen_mass=4.0,
+                               constraints="HBonds")
+    cs = system.constraints
+    rng = np.random.default_rng(3)
+    x_ref = jnp.asarray(crd)
+    x_new = jnp.asarray(crd + rng.normal(0, 0.008, crd.shape))
+    v = jnp.asarray(rng.normal(0, 0.5, crd.shape))
+
+    x_while = apply_shake(cs, x_ref, x_new)
+    v_while = apply_rattle(cs, x_while, v)
+    monkeypatch.setenv("OPENMMGRIDFORCE_SHAKE_STATIC", "32")
+    x_static = apply_shake(cs, x_ref, x_new)
+    v_static = apply_rattle(cs, x_static, v)
+
+    # both satisfy the constraints...
+    i, j = np.asarray(cs.idx[:, 0]), np.asarray(cs.idx[:, 1])
+    for x in (x_while, x_static):
+        d = np.linalg.norm(np.asarray(x)[i] - np.asarray(x)[j], axis=1)
+        np.testing.assert_allclose(d, np.asarray(cs.length), rtol=5e-5)
+    # ...and agree with each other to the while version's convergence
+    # tolerance (the while stops at err <= 2e-5; the static solver runs
+    # past it toward the exact fixed point, so they differ by up to the
+    # early-stop slop, not by solution)
+    np.testing.assert_allclose(np.asarray(x_static), np.asarray(x_while),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_static), np.asarray(v_while),
+                               atol=1e-4)

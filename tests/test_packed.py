@@ -391,50 +391,33 @@ def test_pack_grids_fused_matches_combine():
             gs[0], interp_method=InterpolationMethod.TRICUBIC)])
 
 
-@pytest.mark.parametrize("method,dtype", [
-    (InterpolationMethod.TRICUBIC, np.float32),
-    (InterpolationMethod.TRICUBIC, np.float64),
-    (InterpolationMethod.TRIQUINTIC, np.float32),
-])
-def test_pack_grids_fused_hermite_matches_combine(method, dtype):
-    """Hermite grids fuse slab-wise into one row table exactly like
-    pack_grid + combine_packed_grids (the memory-peak-free path that
-    makes a canonical-scale fused tricubic pair fit a 16 GB chip:
-    combine needs both singletons AND the fused table resident —
-    measured RESOURCE_EXHAUSTED on v5e; see bench_canonical hermite)."""
+def test_singleton_fused_pack_matches_pack_grid():
+    """A SINGLE grid packed via pack_grids_fused([g], lane_pad=128) (the
+    128-lane-padded singleton the BPMF sampler uses in its pair-fusion
+    split — XLA:TPU copy-inserted a padded duplicate of a 64-lane
+    canonical-scale argument, r5 bpmf OOM) must evaluate identically to
+    the plain pack_grid binding."""
     from openmmgridforce_tpu.ops.gridgen import generate_grid
-    from openmmgridforce_tpu.ops.packed import (combine_packed_grids,
-                                                evaluate_multi, pack_grid,
+    from openmmgridforce_tpu.ops.packed import (evaluate_multi,
+                                                evaluate_packed, pack_grid,
                                                 pack_grids_fused)
 
-    rng = np.random.default_rng(10)
+    rng = np.random.default_rng(11)
     rec = rng.uniform(0.1, 0.9, (10, 3))
-    gs = [generate_grid((9, 8, 10), (0.09, 0.1, 0.08), (0.0,) * 3, t,
-                        rec, rng.uniform(-0.4, 0.4, 10),
-                        np.full(10, 0.3), np.full(10, 0.5),
-                        compute_derivatives=True,
-                        interp_method=method, dtype=dtype)
-          for t in ("charge", "ljr")]
-    ref = combine_packed_grids([pack_grid(g) for g in gs],
-                               lane_pad=64)
-    pos = rng.uniform(0.05, 0.6, (25, 3)).astype(dtype)
-    s = rng.uniform(-1.0, 1.0, (2, 25)).astype(dtype)
-    want = evaluate_multi(ref, pos, s)
-    # f32: slab vs whole-grid packing changes XLA fusion order, so the
-    # 216-term triquintic contraction carries ~1e-5-relative
-    # reassociation noise; scale tolerances to the data magnitude
-    cscale = float(np.abs(np.asarray(ref.coeffs)).max())
-    escale = float(np.abs(np.asarray(want.per_atom_energy)).max())
-    ctol = 1e-12 if dtype == np.float64 else 1e-4 * cscale
-    etol = 1e-12 if dtype == np.float64 else 1e-4 * escale
-    for kw in ({}, {"x_chunk": 3}):
-        multi = pack_grids_fused(gs, lane_pad=64, **kw)
-        assert multi.poly_basis == ref.poly_basis
-        assert multi.coeffs.shape == ref.coeffs.shape
-        np.testing.assert_allclose(np.asarray(multi.coeffs),
-                                   np.asarray(ref.coeffs),
-                                   rtol=0, atol=ctol)
-        got = evaluate_multi(multi, pos, s)
-        np.testing.assert_allclose(np.asarray(got.per_atom_energy),
-                                   np.asarray(want.per_atom_energy),
-                                   rtol=0, atol=etol)
+    g = generate_grid((12, 10, 11), (0.09, 0.1, 0.08), (0.0,) * 3, "lja",
+                      rec, rng.uniform(-0.4, 0.4, 10),
+                      np.full(10, 0.3), np.full(10, 0.5),
+                      interp_method=InterpolationMethod.BSPLINE,
+                      dtype=np.float64)
+    pos = rng.uniform(0.05, 0.7, (25, 3))
+    scal = rng.uniform(-1.0, 1.0, 25)
+    want = evaluate_packed(pack_grid(g), pos, scal)
+    multi = pack_grids_fused([g], lane_pad=128)
+    assert multi.coeffs.shape[1] == 128
+    got = evaluate_multi(multi, pos, scal[None, :])
+    np.testing.assert_allclose(np.asarray(got.per_atom_energy),
+                               np.asarray(want.per_atom_energy),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.forces),
+                               np.asarray(want.forces),
+                               rtol=0, atol=1e-11)

@@ -408,3 +408,48 @@ def test_pack_budget_total_fallback_matches(tmp_path):
     np.testing.assert_allclose(np.asarray(got.positions),
                                np.asarray(want.positions),
                                rtol=0, atol=1e-6)
+
+
+def test_full_payload_replica_exempt_from_check(tmp_path, monkeypatch):
+    """A replica on the full-grid escalation payload must be EXEMPT from
+    the containment check: its segment ran on the exact full field, so a
+    re-flag (e.g. the f32 running bbox grazing the f64 full-box corner —
+    a half-ulp band OOB-restrained atoms cross every segment) would make
+    escalate() a no-op and _run_chunk recurse at constant depth forever
+    (the r5 canonical streamed-triquintic bare RecursionError). With the
+    exemption, a permanently-flagged replica escalates ONCE and the run
+    completes."""
+    system, grids, evs, scals, states = _setup(tmp_path)
+    from openmmgridforce_tpu.mm.streamed_md import StreamSet
+
+    sset = StreamSet(evs, scals, full_region_budget_bytes=1 << 30)
+    md = StreamedBatchMD(sets=[sset], system=system, dt=0.0005,
+                         friction=2.0, refresh_steps=10)
+
+    real_check = StreamSet.check
+
+    def paranoid_check(self, run_bounds, interior, idx):
+        bad = set(np.asarray(real_check(self, run_bounds, interior,
+                                        idx)).tolist())
+        # simulate the boundary artifact: replica 0 always "violates"
+        # whenever it is in this group
+        if 0 in np.asarray(idx):
+            bad.add(0)
+        return np.asarray(sorted(bad), dtype=int)
+
+    monkeypatch.setattr(StreamSet, "check", paranoid_check)
+    got = md.run(states, 0.0, 30)      # must terminate, not recurse
+    assert bool(sset._full[0]), "replica 0 should have escalated once"
+    assert np.isfinite(np.asarray(got.positions)[:5]).all()
+
+    # parity: the escalated replica ran on the exact full grid — its
+    # trajectory must match the unmocked engine's (same physics, since
+    # full-grid evaluation has no region approximation)
+    monkeypatch.setattr(StreamSet, "check", real_check)
+    md2 = StreamedBatchMD(
+        sets=[StreamSet(evs, scals, full_region_budget_bytes=1 << 30)],
+        system=system, dt=0.0005, friction=2.0, refresh_steps=10)
+    want = md2.run(states, 0.0, 30)
+    np.testing.assert_allclose(np.asarray(got.positions)[:5],
+                               np.asarray(want.positions)[:5],
+                               rtol=0, atol=5e-5)

@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-5 TPU evidence queue, part E (final) — consolidated order after
+# the constant-depth escalate-loop fix landed in streamed_md.py:
+#   1. BPMF production attempt A: 64-lane singleton + static SHAKE
+#   2. attempt B on failure: 128-lane singleton (copy-proof layout)
+#   3. triquintic streamed MD rerun (full-payload check exemption fixes
+#      the infinite retry recursion that ate attempts 1-2)
+#   4. best-effort stress rebuild
+# All stages hard-stop before the end-of-round deadline so the driver's
+# bench.py finds a free, unwedged chip.
+#
+# Usage: nohup bash tools/tpu_queue_r05e.sh > /tmp/queue_r05e.log 2>&1 &
+
+set -u
+cd /root/repo
+mkdir -p bench_logs
+export PYTHONPATH=/root/repo:/root/.axon_site
+DEADLINE=${QUEUE_DEADLINE:-1787151000}
+
+run() {
+    local name=$1 t=$2; shift 2
+    local done_mark="bench_logs/r05_${name}.done"
+    if [ -f "$done_mark" ]; then echo "skip $name (done)"; return 0; fi
+    local left=$((DEADLINE - $(date +%s)))
+    if [ "$left" -lt 900 ]; then
+        echo "skip $name (deadline: ${left}s left)"; return 1
+    fi
+    [ "$t" -gt "$left" ] && t=$left
+    echo "=== $name: $* (timeout ${t}s) $(date -u +%H:%M:%S) ==="
+    timeout "$t" "$@" >> "bench_logs/r05_${name}.log" 2>&1
+    local rc=$?
+    echo "=== $name rc=$rc $(date -u +%H:%M:%S) ==="
+    [ $rc -eq 0 ] && touch "$done_mark"
+    git add -A bench_logs BENCH_CANONICAL.jsonl BENCH_MATRIX.md 2>/dev/null
+    git commit -q -m "r05 TPU evidence: $name (rc=$rc)" || true
+    return $rc
+}
+
+rm -f bench_logs/r05_bpmf_row.done
+[ -f bench_logs/r05_bpmf.log ] && [ ! -f bench_logs/r05_bpmf.done ] && \
+    mv bench_logs/r05_bpmf.log bench_logs/r05_bpmf_attempt2.log
+
+run bpmf 3900 \
+    env OPENMMGRIDFORCE_SHAKE_STATIC=32 \
+    python examples/bpmf_sampler.py -i tools/bpmf_canonical_input.json \
+    --generate-grids --grid-spacing 0.0125 --n-trials 50 \
+    --singleton-lanes 64 --work-dir bench_logs/bpmf_canonical
+if [ ! -f bench_logs/r05_bpmf.done ]; then
+    mv bench_logs/r05_bpmf.log bench_logs/r05_bpmf_attempt3.log
+    run bpmf 3900 \
+        env OPENMMGRIDFORCE_SHAKE_STATIC=32 \
+        python examples/bpmf_sampler.py -i tools/bpmf_canonical_input.json \
+        --generate-grids --grid-spacing 0.0125 --n-trials 50 \
+        --singleton-lanes 128 --work-dir bench_logs/bpmf_canonical
+fi
+if [ ! -f bench_logs/r05_bpmf_row.done ] && [ -f bench_logs/r05_bpmf.log ]; then
+    python tools/emit_bpmf_row.py bench_logs/r05_bpmf.log \
+        bench_logs/bpmf_canonical tools/bpmf_canonical_input.json \
+        && touch bench_logs/r05_bpmf_row.done
+    git add -A bench_logs BENCH_CANONICAL.jsonl 2>/dev/null
+    git commit -q -m "r05 TPU evidence: bpmf production row" || true
+fi
+
+run hermite_triquintic 3600 \
+    python bench_canonical.py hermite --method triquintic --dt-fs 0.25
+
+run stress_gen 7200 python bench_canonical.py stress-gen
+run stress_md 7200 python bench_canonical.py stress-md --skip-parity
+echo "queue E complete $(date -u +%H:%M:%S)"
