@@ -101,6 +101,13 @@ def main():
                     help="additionally shard the fused grid table "
                          "spatially over this many devices per replica "
                          "group (total devices = dp * sp)")
+    ap.add_argument("--friction", type=float, default=1.0,
+                    help="Langevin friction (ps^-1). The reference example "
+                         "uses 1/ps; on capped grids a fusion event spikes "
+                         "T by ~50x and friction sets the drain rate — 5/ps "
+                         "keeps the ladder finite where 1/ps lets spikes "
+                         "compound across a 5000-step equilibration "
+                         "(measured r5 at 0.025 nm, dt=0.5 fs)")
     ap.add_argument("--singleton-lanes", type=int, default=64,
                     choices=[64, 128],
                     help="row width of the un-fused third pack in the "
@@ -246,7 +253,7 @@ def main():
         t_high=require(job, "T_HIGH", f"job '{run_job}'"),
         t_min=require(job, "T_SIMMIN", f"job '{run_job}'"),
         dt=require(job, "delta_t", f"job '{run_job}'") / 1000.0,  # fs -> ps
-        friction=1.0,
+        friction=args.friction,
         md_steps_per_trial=require(cfg, "nstep_MD", "the top level"),
         hydrogen_mass=job.get("H_mass"),
     )

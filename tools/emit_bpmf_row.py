@@ -23,6 +23,7 @@ sys.path.insert(0, HERE)
 
 def main():
     log_path, work_dir, cfg_path = sys.argv[1:4]
+    spacing = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0125
     cfg = json.load(open(cfg_path))
     text = open(log_path, errors="replace").read()
 
@@ -33,7 +34,7 @@ def main():
            "nstep_MD": cfg["nstep_MD"],
            "nstep_equil": cfg.get("nstep_equil", 0),
            "dt_fs": cfg["CD"]["delta_t"],
-           "grid_spacing_nm": 0.0125}
+           "grid_spacing_nm": spacing}
 
     m = re.search(r"(\d+) trials in ([\d.]+)s \(([\d,]+) replica-steps/s\)",
                   text)
@@ -61,6 +62,13 @@ def main():
     m = re.search(r"gMC acceptance: (\d+)/(\d+)", text)
     if m:
         row["gmc_accept"] = f"{m.group(1)}/{m.group(2)}"
+
+    # how much of the ladder stayed numerically alive: fusion events on
+    # capped grids can NaN replicas (physics present in the reference
+    # too); a row with NaN drift must say how many states survived
+    if e.size:
+        row["finite_state_cols"] = int(np.isfinite(e).all(axis=0).sum())
+        row["state_cols"] = int(e.shape[1])
 
     # energy drift at the target state (column 0): mean of the first vs
     # last quarter of production trials, in kcal/mol and relative to the
