@@ -313,10 +313,32 @@ def evaluate_compensated(cp: CompensatedPackedGrid, positions,
         pos_lo = jnp.zeros_like(pos_hi)
     scaling = jnp.asarray(scaling_factors, jnp.float32)
     K = cp.degree ** 3
-    energy, forces, per_atom = _evaluate_compensated_core(
-        cp.coeffs, cp.origin_hi, cp.origin_lo, cp.inv_spacing_hi,
-        cp.inv_spacing_lo, cp.corner_hi, cp.corner_lo, cp.spacing,
-        pos_hi, pos_lo, scaling,
-        counts=cp.counts, degree=cp.degree, back_power=cp.back_power,
-        oob_k=cp.oob_k, K=K)
+
+    def run():
+        return _evaluate_compensated_core(
+            cp.coeffs, cp.origin_hi, cp.origin_lo, cp.inv_spacing_hi,
+            cp.inv_spacing_lo, cp.corner_hi, cp.corner_lo, cp.spacing,
+            pos_hi, pos_lo, scaling,
+            counts=cp.counts, degree=cp.degree,
+            back_power=cp.back_power, oob_k=cp.oob_k, K=K)
+
+    # XLA:CPU pathology (measured 2026-08, jax 0.5-era thunk runtime):
+    # the jitted core at degree >= 6 compiles in ~10 s but the RUN of
+    # even 8 points spins for hours at 100% CPU — the fused elementwise
+    # codegen re-evaluates the deep double-float expression DAG
+    # (4 nested contraction levels x 6-term two_sum chains)
+    # exponentially. Op-by-op dispatch of the same graph takes ~0.4 s
+    # per 256 points, so on the CPU backend we drop the jit wrapper for
+    # quintic-and-up degrees. TPU (the production target) keeps the
+    # jitted path. Override with OMGF_COMPENSATED_JIT=1.
+    import os
+    eager = (cp.degree >= 6
+             and not os.environ.get("OMGF_COMPENSATED_JIT")
+             and not isinstance(positions, jax.core.Tracer)
+             and all(d.platform == "cpu" for d in cp.coeffs.devices()))
+    if eager:
+        with jax.disable_jit():
+            energy, forces, per_atom = run()
+    else:
+        energy, forces, per_atom = run()
     return GridEval(energy, forces, per_atom)

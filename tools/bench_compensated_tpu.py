@@ -67,17 +67,37 @@ def main():
         dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr, flush=True)
 
-    vals = np.load(bc.vals_cache("charge")).astype(np.float32)
-    # 81^3 window centred in the canonical box
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", default="bspline",
+                   choices=["bspline", "tricubic", "triquintic"])
+    p.add_argument("--grid", default="charge", choices=bc.GRID_TYPES)
+    p.add_argument("--window", type=int, default=40,
+                   help="window half-extent in grid points")
+    args = p.parse_args()
+    methods = {"bspline": InterpolationMethod.BSPLINE,
+               "tricubic": InterpolationMethod.TRICUBIC,
+               "triquintic": InterpolationMethod.TRIQUINTIC}
+    method = methods[args.method]
+    hermite = args.method != "bspline"
+
+    # (2w+1)^3 window of the REAL canonical grid, centred in the box
     c = [n // 2 for n in bc.COUNTS]
-    w = 40
-    sub = vals[c[0] - w:c[0] + w + 1, c[1] - w:c[1] + w + 1,
-               c[2] - w:c[2] + w + 1]
+    w = args.window
+    sl = tuple(slice(ci - w, ci + w + 1) for ci in c)
     sub_origin = (np.asarray(bc.ORIGIN)
                   + (np.asarray(c) - w) * np.asarray(bc.SPACING))
-    g32 = Grid.create(sub, bc.SPACING, sub_origin,
-                      interp_method=InterpolationMethod.BSPLINE,
-                      dtype=np.float32)
+    if hermite:
+        d27 = np.load(bc.derivs_cache(args.grid), mmap_mode="r")
+        sub27 = np.ascontiguousarray(
+            d27[(slice(None),) + sl]).astype(np.float32)
+        sub = sub27[0]
+        derivs32 = np.moveaxis(sub27, 0, -1)
+    else:
+        sub = np.load(bc.vals_cache(args.grid))[sl].astype(np.float32)
+        derivs32 = None
+    g32 = Grid.create(sub, bc.SPACING, sub_origin, derivs=derivs32,
+                      interp_method=method, dtype=np.float32)
 
     rng = np.random.default_rng(3)
     lo = sub_origin + 0.1
@@ -113,9 +133,11 @@ def main():
         np.float64)
     with jax.enable_x64():
         cpu = jax.devices("cpu")[0]
-        g64 = Grid.create(sub.astype(np.float64), bc.SPACING, sub_origin,
-                          interp_method=InterpolationMethod.BSPLINE,
-                          dtype=np.float64)
+        g64 = Grid.create(
+            sub.astype(np.float64), bc.SPACING, sub_origin,
+            derivs=None if derivs32 is None
+            else derivs32.astype(np.float64),
+            interp_method=method, dtype=np.float64)
         from openmmgridforce_tpu.ops.interpolate import evaluate_grid
         with jax.default_device(cpu):
             truth = np.asarray(evaluate_grid(
@@ -123,7 +145,9 @@ def main():
                 np.ones(2000)).per_atom_energy)
     scale = np.abs(truth).max()
     max_rel = float(np.abs(got - truth).max() / scale)
-    bc.emit({"stage": "compensated-tpu", "grid": "charge-window-81",
+    bc.emit({"stage": "compensated-tpu",
+             "grid": f"{args.grid}-window-{2 * w + 1}",
+             "method": args.method,
              "points": N_POINTS, "iters": N_ITERS,
              "plain_evals_per_s": round(rate_plain, 1),
              "compensated_evals_per_s": round(rate_comp, 1),
