@@ -34,22 +34,25 @@ N_POINTS = int(os.environ.get("BENCH_COMP_POINTS", "47000"))
 N_ITERS = int(os.environ.get("BENCH_COMP_ITERS", "200"))
 
 
-def in_scan_rate(fn, pos0, n_iters=N_ITERS):
-    """steps/s of fn(positions)->forces inside one lax.scan dispatch."""
-
-    def body(p, _):
-        f = fn(p)
-        # fake dependency: nudge positions by a zero-scaled force term
-        return p + 0.0 * f, None
+def in_scan_rate(fn, pack, pos0, n_iters=N_ITERS):
+    """steps/s of fn(pack, positions)->forces inside one lax.scan
+    dispatch. ``pack`` is passed as a jit ARGUMENT — closing over a
+    multi-hundred-MB coefficient table embeds it in the serialized HLO
+    and the remote compiler rejects the request (HTTP 413; hit at the
+    544 MB triquintic plain pack)."""
 
     @jax.jit
-    def run(p):
+    def run(pk, p):
+        def body(p, _):
+            f = fn(pk, p)
+            # fake dependency: nudge positions by a zero-scaled force
+            return p + 0.0 * f, None
         p, _ = jax.lax.scan(body, p, None, length=n_iters)
         return p
 
-    jax.block_until_ready(run(pos0))          # compile + warm
+    jax.block_until_ready(run(pack, pos0))    # compile + warm
     t0 = time.time()
-    jax.block_until_ready(run(pos0))
+    jax.block_until_ready(run(pack, pos0))
     return n_iters / (time.time() - t0)
 
 
@@ -116,11 +119,13 @@ def main():
     print(f"compensated pack+upload ({comp.coeffs.nbytes / 1e6:.0f} MB): "
           f"{t_pack:.1f}s", file=sys.stderr, flush=True)
 
+    plain = jax.device_put(plain, dev)
     posd = jax.device_put(jnp.asarray(pos), dev)
     rate_plain = in_scan_rate(
-        lambda p: evaluate_packed(plain, p, ones).forces, posd)
+        lambda pk, p: evaluate_packed(pk, p, ones).forces, plain, posd)
     rate_comp = in_scan_rate(
-        lambda p: evaluate_compensated(comp, p, ones).forces, posd)
+        lambda pk, p: evaluate_compensated(pk, p, ones).forces, comp,
+        posd)
     print(f"plain {rate_plain:.1f} evals/s, compensated {rate_comp:.1f} "
           f"evals/s ({rate_plain / rate_comp:.1f}x cost)",
           file=sys.stderr, flush=True)
