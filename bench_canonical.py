@@ -732,7 +732,8 @@ def stage_stress_md(args):
     from openmmgridforce_tpu.io.streaming import StreamedGridEvaluator
     from openmmgridforce_tpu.mm import (StreamedBatchMD, load_inpcrd,
                                         load_prmtop, system_from_amber)
-    from openmmgridforce_tpu.parallel import init_replica_states
+    from openmmgridforce_tpu.parallel import (init_replica_states,
+                                              redraw_hot_velocities)
     dtype = np.float32
     lig = load_prmtop(f"{DATA}/ligand.prmtop")
     crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
@@ -824,6 +825,25 @@ def stage_stress_md(args):
     t0 = time.time()
     states = md.run(states, 300.0, args.warm, progress=progress)
     log(f"warmup {args.warm} steps: {time.time() - t0:.1f}s")
+    # Drain fusion-trapped replicas before timing: on capped grids a
+    # trapped replica's bounded high-KE orbit outruns the region margin
+    # every segment and the timed window measures containment churn
+    # instead of streaming throughput (BENCH_MATRIX "stress-MD rerun
+    # collapse"). Re-draw hot replicas' velocities, equilibrate, repeat.
+    drained = 0
+    for r in range(args.drain_rounds):
+        states, n_hot = redraw_hot_velocities(
+            states, system.masses, 300.0, args.drain_threshold_k)
+        n_hot = int(n_hot)
+        log(f"  drain round {r}: {n_hot} replicas re-thermalized")
+        drained += n_hot
+        if n_hot == 0:
+            break
+        t0 = time.time()
+        states = md.run(states, 300.0, args.drain_steps,
+                        progress=progress)
+        log(f"  drain equilibration {args.drain_steps} steps: "
+            f"{time.time() - t0:.1f}s")
     t0 = time.time()
     states = md.run(states, 300.0, args.steps, progress=progress)
     dt = time.time() - t0
@@ -835,6 +855,7 @@ def stage_stress_md(args):
           "packs_built": sum(s.packs_built for s in sets),
           "direct_builds": sum(s.direct_builds for s in sets),
           "full_escalations": sum(s.full_escalations for s in sets),
+          "drain_redraws": drained,
           "host_rss_gb": round(rss_gb(), 1),
           "grid_points": int(np.prod(S_COUNTS)),
           "on_disk_gb": round(sum(os.path.getsize(stress_path(g))
@@ -917,6 +938,12 @@ def main():
     sm.add_argument("--warm", type=int, default=100)
     sm.add_argument("--steps", type=int, default=1000)
     sm.add_argument("--dt-fs", type=float, default=0.25)
+    # fusion-trap drain before the timed window (0 rounds disables):
+    # re-thermalize replicas hotter than --drain-threshold-k, run
+    # --drain-steps more equilibration, repeat until none are hot
+    sm.add_argument("--drain-rounds", type=int, default=10)
+    sm.add_argument("--drain-steps", type=int, default=500)
+    sm.add_argument("--drain-threshold-k", type=float, default=1000.0)
     args = p.parse_args()
     {"gen": stage_gen, "parity": stage_parity, "md": stage_md,
      "derivs": stage_derivs, "accuracy": stage_accuracy,

@@ -51,6 +51,56 @@ def make_ensemble_runner(step_fn: Callable, n_steps: int,
     return jax.jit(run, in_shardings=(spec,), out_shardings=spec)
 
 
+def replica_temperatures(states: MDState, masses) -> jax.Array:
+    """Per-replica instantaneous temperature [R] in K from velocities.
+
+    Batched form of ``mm.instantaneous_temperature`` (3N degrees of
+    freedom, no constraint correction) — a cheap health probe for
+    drain/equilibration decisions, not a thermodynamic estimator.
+    """
+    from ..mm.integrators import instantaneous_temperature
+
+    return jax.vmap(lambda s: instantaneous_temperature(s, masses))(states)
+
+
+def redraw_hot_velocities(states: MDState, masses, temperatures,
+                          threshold: float):
+    """Re-thermalize fusion-trapped replicas; leave the rest untouched.
+
+    On tanh-capped grids (the reference's cap, gridGeneration.cu:342) a
+    replica that falls into a capped receptor-core well picks up a
+    bounded high-kinetic-energy orbit that Langevin friction drains only
+    slowly, and at fine grid spacings the orbit outruns any affordable
+    streaming-region margin (BENCH_MATRIX "stress-MD rerun collapse").
+    The standard MD-package remedy is a velocity re-draw during
+    equilibration: replicas whose instantaneous temperature exceeds
+    ``threshold`` get fresh Maxwell-Boltzmann velocities at their target
+    temperature (scalar or [R] ladder) drawn from their OWN key stream;
+    cold replicas keep bitwise-identical velocities AND keys, so their
+    trajectories are unchanged.
+
+    Returns ``(new_states, n_redrawn)``; jit-safe (one device dispatch).
+    """
+    from ..units import BOLTZ
+
+    t_inst = replica_temperatures(states, masses)
+    hot = t_inst > threshold
+    m = jnp.asarray(masses, states.velocities.dtype)
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperatures, t_inst.dtype), t_inst.shape)
+
+    def redraw_one(s, h, t_target):
+        k, sub = jax.random.split(s.key)
+        sigma_v = jnp.sqrt(BOLTZ * t_target / m)[:, None]
+        v = sigma_v * jax.random.normal(sub, s.positions.shape,
+                                        dtype=s.velocities.dtype)
+        return MDState(positions=s.positions,
+                       velocities=jnp.where(h, v, s.velocities),
+                       key=jnp.where(h, k, s.key))
+
+    return jax.vmap(redraw_one)(states, hot, temps), jnp.sum(hot)
+
+
 def init_replica_states(key, positions, masses, temperatures,
                         n_replicas: int) -> MDState:
     """Batched Maxwell-Boltzmann initialization; ``temperatures`` may be a

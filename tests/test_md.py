@@ -215,3 +215,50 @@ def test_vmapped_replicas_distinct_trajectories():
     pos = np.asarray(finals.positions)
     # all replicas evolved and differ from each other
     assert np.all(np.ptp(pos, axis=0) > 0)
+
+
+def test_redraw_hot_velocities_drains_trapped_replicas():
+    """Fusion-trap drain: hot replicas get fresh Maxwell-Boltzmann
+    velocities from their own key stream; cold replicas are bitwise
+    untouched (velocities AND keys, so their trajectories continue
+    unchanged)."""
+    from openmmgridforce_tpu.parallel import (init_replica_states,
+                                              redraw_hot_velocities,
+                                              replica_temperatures)
+
+    masses = jnp.asarray([12.0, 1.0, 16.0, 14.0])
+    x0 = jnp.zeros((4, 3))
+    R = 6
+    states = init_replica_states(jax.random.PRNGKey(7), x0, masses,
+                                 300.0, R)
+    # blow up replicas 1 and 4 the way a capped-well orbit does
+    v = np.asarray(states.velocities).copy()
+    v[1] *= 40.0
+    v[4] *= 40.0
+    states = MDState(positions=states.positions,
+                     velocities=jnp.asarray(v), key=states.key)
+    t_before = np.asarray(replica_temperatures(states, masses))
+    assert t_before[1] > 1000.0 and t_before[4] > 1000.0
+
+    new, n_hot = jax.jit(lambda s: redraw_hot_velocities(
+        s, masses, 300.0, 1000.0))(states)
+    assert int(n_hot) == 2
+    t_after = np.asarray(replica_temperatures(new, masses))
+    # hot replicas re-thermalized to O(300 K) (small-N MB draw scatter)
+    assert t_after[1] < 1000.0 and t_after[4] < 1000.0
+    cold = [0, 2, 3, 5]
+    np.testing.assert_array_equal(
+        np.asarray(new.velocities)[cold], v[cold])
+    np.testing.assert_array_equal(np.asarray(new.key)[cold],
+                                  np.asarray(states.key)[cold])
+    # hot replicas' keys advanced (fresh stream for the next draw)
+    assert not np.array_equal(np.asarray(new.key)[1],
+                              np.asarray(states.key)[1])
+    # positions never change in a drain
+    np.testing.assert_array_equal(np.asarray(new.positions),
+                                  np.asarray(states.positions))
+    # second call: nobody hot, everything bitwise identical
+    new2, n2 = redraw_hot_velocities(new, masses, 300.0, 1000.0)
+    assert int(n2) == 0
+    np.testing.assert_array_equal(np.asarray(new2.velocities),
+                                  np.asarray(new.velocities))
