@@ -108,6 +108,11 @@ def main():
                          "keeps the ladder finite where 1/ps lets spikes "
                          "compound across a 5000-step equilibration "
                          "(measured r5 at 0.025 nm, dt=0.5 fs)")
+    ap.add_argument("--drain-rounds", type=int, default=0,
+                    help="split equilibration into this many chunks and "
+                         "re-draw velocities of fusion-trapped states "
+                         "between chunks (0 = reference-faithful: one "
+                         "uninterrupted equilibration run)")
     ap.add_argument("--singleton-lanes", type=int, default=64,
                     choices=[64, 128],
                     help="row width of the un-fused third pack in the "
@@ -282,10 +287,22 @@ def main():
             save_sampler(os.path.join(work_dir, "checkpoint"), s)
 
     t0 = time.time()
-    # equilibration phase before production (sampler.py:551)
+    # equilibration phase before production (sampler.py:551), in
+    # --drain-rounds chunks: between chunks, fusion-trapped rungs
+    # (instantaneous T > 5x their ladder T) get their velocities
+    # re-drawn so capped-well orbits can't compound into f32 overflow
+    # (Sampler.drain_trapped; 0 rounds = reference-faithful single run)
     nstep_equil = int(cfg.get("nstep_equil", 0))
     if nstep_equil > 0:
-        sampler.run_md(nstep_equil)
+        chunks = max(1, args.drain_rounds)
+        per = max(1, nstep_equil // chunks)
+        for i in range(chunks):
+            sampler.run_md(per)
+            if args.drain_rounds > 0:
+                n_hot = sampler.drain_trapped()
+                if n_hot:
+                    print(f"equil chunk {i + 1}/{chunks}: re-drew "
+                          f"velocities of {n_hot} trapped states")
 
     sampler.run(n_trials=args.n_trials,
                 n_exchange_per_trial=require(cfg, "ntrial_repX", "the top level"),

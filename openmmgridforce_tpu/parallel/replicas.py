@@ -64,8 +64,11 @@ def replica_temperatures(states: MDState, masses) -> jax.Array:
 
 
 def redraw_hot_velocities(states: MDState, masses, temperatures,
-                          threshold: float):
+                          threshold):
     """Re-thermalize fusion-trapped replicas; leave the rest untouched.
+
+    ``threshold`` is in K — a scalar, or [R] for per-replica thresholds
+    (temperature-ladder ensembles scale it with the rung temperature).
 
     On tanh-capped grids (the reference's cap, gridGeneration.cu:342) a
     replica that falls into a capped receptor-core well picks up a

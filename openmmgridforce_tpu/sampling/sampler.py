@@ -340,6 +340,28 @@ class Sampler:
     def potential_energies(self) -> np.ndarray:
         return np.array(self._energies(self.states.positions))
 
+    def drain_trapped(self, threshold_factor: float = 5.0) -> int:
+        """Re-thermalize fusion-trapped ladder states (one dispatch).
+
+        A state whose instantaneous temperature exceeds
+        ``threshold_factor`` times its ladder temperature gets fresh
+        Maxwell-Boltzmann velocities at the ladder temperature from its
+        own key stream; every other state keeps bitwise-identical
+        velocities and keys. Standard equilibration remedy for the
+        capped-grid fusion orbits both engines share (the reference
+        mitigates the same physics with inv-power smoothing and short
+        dt); call between equilibration segments, not during
+        production sampling. Returns the number re-drawn.
+        """
+        from ..parallel import redraw_hot_velocities
+
+        temps = jnp.asarray(self.temperatures)
+        states, n = redraw_hot_velocities(
+            self.states, self.system.masses, temps,
+            threshold_factor * temps)
+        self.states = states
+        return int(n)
+
     # ------------------------------------------------------------------
     def replica_exchange(self) -> int:
         """One temperature-exchange attempt (reference selection rule)."""

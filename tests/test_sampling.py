@@ -87,6 +87,31 @@ def test_sampler_end_to_end(ligand):
 
 
 @pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
+def test_sampler_drain_trapped(ligand):
+    """drain_trapped re-thermalizes only the rungs hotter than 5x their
+    ladder temperature, at their own ladder temperature."""
+    top, crd = ligand
+    system = system_from_amber(top, hydrogen_mass=4.0)
+    config = SamplerConfig(n_states=4, t_high=400.0, t_min=300.0)
+    sampler = Sampler(system, [], jnp.asarray(crd), config,
+                      bonds=[tuple(b) for b in top.bond_idx])
+
+    assert sampler.drain_trapped() == 0  # starts cold (zero velocities)
+
+    from openmmgridforce_tpu.parallel import replica_temperatures
+    v = np.asarray(sampler.states.velocities).copy()
+    v[2] = 10.0  # one rung fusion-orbits (10 nm/ps everywhere ~ 10^5 K)
+    cold = [0, 1, 3]
+    sampler.states = sampler.states._replace(velocities=jnp.asarray(v))
+    assert sampler.drain_trapped() == 1
+    t = np.asarray(replica_temperatures(sampler.states, system.masses))
+    # re-drawn near its OWN ladder temperature (small-N draw scatter)
+    assert t[2] < 5.0 * sampler.temperatures[2]
+    np.testing.assert_array_equal(
+        np.asarray(sampler.states.velocities)[cold], v[cold])
+
+
+@pytest.mark.skipif(not HAVE_FIXTURES, reason="fixtures not available")
 def test_exchange_detailed_balance_acceptance(ligand):
     """With all replicas at identical positions, every exchange must be
     accepted (log_ratio == 0)."""
