@@ -18,7 +18,8 @@ from .context import (ApiSystem, Context, HarmonicAngleForce,  # noqa: F401
                       LangevinMiddleIntegrator, NonbondedForce,
                       PeriodicTorsionForce, Platform, Simulation, State,
                       VerletIntegrator, clearGridCache, create_system)
-from .gridforce import (Force, GridForce, InvPowerMode_NONE,  # noqa: F401
-                        InvPowerMode_RUNTIME, InvPowerMode_STORED,
-                        ParticleGroup, castToGridForce)
+from .gridforce import (Force, GridData, GridForce,  # noqa: F401
+                        InvPowerMode_NONE, InvPowerMode_RUNTIME,
+                        InvPowerMode_STORED, ParticleGroup,
+                        castToGridForce)
 from .isolated import IsolatedNonbondedForce  # noqa: F401

@@ -35,6 +35,123 @@ class ParticleGroup:
     scaling_factors: List[float]
 
 
+class GridData:
+    """Shared grid-data container mirroring the reference ``GridData``
+    (reference python/gridforceplugin.i:101-157,
+    openmmapi/include/GridData.h). Where the reference shares one
+    ``shared_ptr<GridData>`` between forces to avoid duplicating large
+    grids, here the arrays are numpy and sharing falls out of Python
+    reference semantics: pass the same ``GridData`` to several
+    :class:`GridForce` objects and they alias one buffer.
+
+    SWIG's ``%apply ... OUTPUT`` turns the reference's by-reference
+    getters into tuple returns in Python, so ``getCounts()`` /
+    ``getSpacing()`` / ``getOrigin()`` return 3-tuples here too.
+    """
+
+    def __init__(self, nx=0, ny=0, nz=0, dx=0.0, dy=0.0, dz=0.0):
+        self._counts = [int(nx), int(ny), int(nz)]
+        self._spacing = [float(dx), float(dy), float(dz)]
+        self._origin = [0.0, 0.0, 0.0]
+        self._vals = np.zeros(0, dtype=np.float64)
+        self._derivs: Optional[np.ndarray] = None
+        self._grid_type = ""
+        self._inv_power = 0.0
+        self._inv_power_mode = 0
+
+    # --- file I/O (reference GridData.cpp V3 container variant) ----------
+    @staticmethod
+    def loadFromFile(filename) -> "GridData":
+        from ..io import load_v3
+
+        data = load_v3(filename)
+        gd = GridData(*data.counts, *data.spacing)
+        gd._origin = list(data.origin)
+        gd._vals = np.asarray(data.vals, dtype=np.float64).reshape(-1)
+        if data.derivs is not None:
+            gd._derivs = np.asarray(data.derivs,
+                                    dtype=np.float64).reshape(-1)
+        gd._grid_type = data.grid_type
+        gd._inv_power = float(data.inv_power)
+        gd._inv_power_mode = int(data.inv_power_mode)
+        return gd
+
+    def saveToFile(self, filename):
+        from ..io import save_v3_griddata
+
+        n = int(np.prod(self._counts))
+        if self._vals.size != n:
+            raise ValueError("Number of grid values doesn't match "
+                             "dimensions")
+        derivs = None
+        if self._derivs is not None and self._derivs.size:
+            derivs = self._derivs.reshape((27,) + tuple(self._counts))
+        save_v3_griddata(filename, self._counts, self._spacing,
+                         self._origin, self._vals,
+                         derivs=derivs, inv_power=self._inv_power,
+                         inv_power_mode=self._inv_power_mode)
+
+    # --- dimensions -------------------------------------------------------
+    def getNx(self):
+        return self._counts[0]
+
+    def getNy(self):
+        return self._counts[1]
+
+    def getNz(self):
+        return self._counts[2]
+
+    def getCounts(self):
+        return tuple(self._counts)
+
+    # --- spacing ----------------------------------------------------------
+    def getDx(self):
+        return self._spacing[0]
+
+    def getDy(self):
+        return self._spacing[1]
+
+    def getDz(self):
+        return self._spacing[2]
+
+    def getSpacing(self):
+        return tuple(self._spacing)
+
+    # --- origin -----------------------------------------------------------
+    def getOrigin(self):
+        return tuple(self._origin)
+
+    def setOrigin(self, x, y, z):
+        self._origin = [float(x), float(y), float(z)]
+
+    # --- data -------------------------------------------------------------
+    def getValues(self):
+        return self._vals
+
+    def setValues(self, vals):
+        self._vals = np.asarray(vals, dtype=np.float64).reshape(-1)
+
+    def getDerivatives(self):
+        return (self._derivs if self._derivs is not None
+                else np.zeros(0, dtype=np.float64))
+
+    def setDerivatives(self, derivs):
+        self._derivs = np.asarray(derivs, dtype=np.float64).reshape(-1)
+
+    def hasDerivatives(self):
+        return self._derivs is not None and self._derivs.size > 0
+
+    # --- metadata ---------------------------------------------------------
+    def getGridType(self):
+        return self._grid_type
+
+    def setGridType(self, grid_type):
+        self._grid_type = str(grid_type)
+
+    def getInvPower(self):
+        return self._inv_power
+
+
 class Force:
     """Base: force-group bookkeeping (OpenMM::Force surface subset)."""
 
@@ -51,7 +168,7 @@ class Force:
 
 
 class GridForce(Force):
-    def __init__(self):
+    def __init__(self, grid_data: Optional[GridData] = None):
         super().__init__()
         self._counts: List[int] = []
         self._spacing: List[float] = []
@@ -81,8 +198,36 @@ class GridForce(Force):
         self._tiled_output_file = ""
         self._tiled_output_tile_size = 32
         self._tiled_input_file = ""
+        self._grid_data: Optional[GridData] = None
         # filled at Context creation
         self._context = None
+        if grid_data is not None:
+            self.setGridData(grid_data)
+
+    # --- shared GridData container (reference GridForce.h:90-92) -------
+    def setGridData(self, grid_data: GridData):
+        """Adopt a shared :class:`GridData` container. Geometry and
+        metadata are copied (as the reference copies them into
+        ``m_counts``/``m_spacing``, GridForce.cpp:107-132); values and
+        derivatives are read AND written *through* the container — the
+        reference keeps ``m_vals = gridData->getValuesPtr()`` so a later
+        ``GridData.setValues`` or a sibling force's ``setGridValues``
+        is visible to every force aliasing the container."""
+        self._grid_data = grid_data
+        self._counts = list(grid_data.getCounts())
+        self._spacing = list(grid_data.getSpacing())
+        self._origin = list(grid_data.getOrigin())
+        self._vals = []
+        self._vals_array = None
+        if grid_data.getGridType():
+            self._grid_type = grid_data.getGridType()
+        if grid_data.getInvPower():
+            self._inv_power = grid_data.getInvPower()
+            self._inv_power_mode = InvPowerMode(
+                grid_data._inv_power_mode)
+
+    def getGridData(self) -> Optional[GridData]:
+        return self._grid_data
 
     # --- grid geometry / data -----------------------------------------
     def addGridCounts(self, nx, ny, nz):
@@ -98,10 +243,17 @@ class GridForce(Force):
         return tuple(self._origin)
 
     def addGridValue(self, val):
+        if self._grid_data is not None:  # m_vals->push_back (:166-168)
+            gd = self._grid_data
+            gd.setValues(np.append(gd.getValues(), float(val)))
+            return
         self._vals.append(float(val))
         self._vals_array = None
 
     def setGridValues(self, vals):
+        if self._grid_data is not None:  # *m_vals = vals (:170-172)
+            self._grid_data.setValues(vals)
+            return
         self._vals_array = np.asarray(vals, dtype=np.float64).reshape(-1)
         self._vals = []
 
@@ -109,6 +261,8 @@ class GridForce(Force):
         return list(self._values_flat())
 
     def _values_flat(self) -> np.ndarray:
+        if self._grid_data is not None:
+            return self._grid_data.getValues()
         if self._vals_array is not None:
             return self._vals_array
         return np.asarray(self._vals, dtype=np.float64)
@@ -216,16 +370,25 @@ class GridForce(Force):
     def getComputeDerivatives(self):
         return self._compute_derivatives
 
+    def _derivs_flat(self) -> Optional[np.ndarray]:
+        if self._grid_data is not None:
+            return (self._grid_data.getDerivatives().reshape(-1)
+                    if self._grid_data.hasDerivatives() else None)
+        return (self._derivatives.reshape(-1)
+                if self._derivatives is not None else None)
+
     def hasDerivatives(self):
-        return self._derivatives is not None
+        return self._derivs_flat() is not None
 
     def getDerivatives(self):
-        return (np.zeros(0) if self._derivatives is None
-                else self._derivatives.reshape(-1))
+        d = self._derivs_flat()
+        return np.zeros(0) if d is None else d
 
     def setDerivatives(self, derivs):
-        derivs = np.asarray(derivs, dtype=np.float64)
-        self._derivatives = derivs
+        if self._grid_data is not None:
+            self._grid_data.setDerivatives(derivs)
+            return
+        self._derivatives = np.asarray(derivs, dtype=np.float64)
 
     # --- atom selections ---------------------------------------------
     def setParticles(self, particles):
@@ -366,7 +529,10 @@ class GridForce(Force):
         self._spacing = list(data.spacing)
         self._origin = list(data.origin)
         self.setGridValues(data.vals.reshape(-1))
-        self._derivatives = data.derivs
+        if data.derivs is not None:
+            self.setDerivatives(data.derivs)
+        elif self._grid_data is None:
+            self._derivatives = None
         self._inv_power = data.inv_power
         self._inv_power_mode = InvPowerMode(data.inv_power_mode)
         if data.grid_type:
@@ -382,9 +548,11 @@ class GridForce(Force):
         if len(vals) != expected:
             raise ValueError(
                 "Number of grid values doesn't match dimensions")
-        derivs = None
-        if self._derivatives is not None and self._derivatives.size:
-            derivs = self._derivatives.reshape((27,) + tuple(self._counts))
+        derivs = self._derivs_flat()
+        if derivs is not None and derivs.size:
+            derivs = derivs.reshape((27,) + tuple(self._counts))
+        else:
+            derivs = None
         save_v3(filename, self._counts, self._spacing, self._origin,
                 vals.reshape(tuple(self._counts)), derivs=derivs,
                 grid_type=self._grid_type, inv_power=self._inv_power,
@@ -405,9 +573,11 @@ class GridForce(Force):
             raise ValueError("Grid counts and spacing must be set")
         vals = self._values_flat()
         counts = tuple(self._counts)
-        derivs = None
-        if self._derivatives is not None and self._derivatives.size:
-            derivs = self._derivatives.reshape((27,) + counts)
+        derivs = self._derivs_flat()
+        if derivs is not None and derivs.size:
+            derivs = derivs.reshape((27,) + counts)
+        else:
+            derivs = None
         return Grid.create(
             vals.reshape(counts), self._spacing, self._origin,
             derivs=derivs,
