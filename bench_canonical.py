@@ -680,8 +680,32 @@ def stage_hermite(args):
     raise SystemExit("all fusion strategies failed")
 
 
-def stress_path(gt):
-    return os.path.join(args_cache_dir(), f"stress_{gt}.tiled")
+def stress_path(gt, scale=1):
+    suffix = "" if scale == 1 else f"_s{scale}"
+    return os.path.join(args_cache_dir(), f"stress_{gt}{suffix}.tiled")
+
+
+def stress_box(scale):
+    """Stress box at the given reduction ``scale``.
+
+    scale=1 is the reference stress box verbatim
+    (test_bspline_tiled_highres.py:46-57). scale>1 keeps the 0.005 nm
+    spacing — that is what makes it "stress": the capped wells are 2.5x
+    steeper than canonical — but reduces counts by ``scale`` per axis
+    and re-centers the box on the ligand cloud, so a representative
+    stress-spacing MD (parity gate + fusion-trap drain + timed window)
+    runs in minutes instead of the hours a full 209M-pt rebuild costs
+    (which four machine restarts wiped this round). Reduced-box rows
+    carry a ``scale`` field so they can never be mistaken for the
+    full-scale number."""
+    counts = tuple(int(np.ceil(c / scale)) for c in S_COUNTS)
+    if scale == 1:
+        return counts, ORIGIN
+    from openmmgridforce_tpu.mm import load_inpcrd
+    lig_x = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    center = (lig_x.min(0) + lig_x.max(0)) / 2.0
+    extent = (np.asarray(counts) - 1) * np.asarray(S_SPACING)
+    return counts, tuple(float(c) for c in center - extent / 2.0)
 
 
 def args_cache_dir():
@@ -696,9 +720,10 @@ def stage_stress_gen(args):
     from openmmgridforce_tpu.ops.gridgen import generate_grid_to_tiled_file
     _, _, rec, rec_x = load_amber()
     dev = jax.devices()[0]
-    pts = int(np.prod(S_COUNTS))
+    counts, origin = stress_box(args.scale)
+    pts = int(np.prod(counts))
     for gt in GRID_TYPES:
-        path = stress_path(gt)
+        path = stress_path(gt, args.scale)
         if os.path.exists(path) and not args.force:
             log(f"{gt}: cached ({os.path.getsize(path) / 1e9:.2f} GB)")
             continue
@@ -712,13 +737,13 @@ def stage_stress_gen(args):
         # generate to a temp name, rename on completion: an interrupted
         # run must never look like a cached grid
         generate_grid_to_tiled_file(
-            path + ".tmp", S_COUNTS, S_SPACING, ORIGIN, gt, rec_x,
+            path + ".tmp", counts, S_SPACING, origin, gt, rec_x,
             rec.charges, rec.sigmas, rec.epsilons, tile_size=32,
             compute_derivatives=False, progress=progress)
         os.replace(path + ".tmp", path)
         dt = time.time() - t0
         emit({"stage": "stress-gen", "grid": gt, "points": pts,
-              "seconds": round(dt, 2),
+              "scale": args.scale, "seconds": round(dt, 2),
               "file_gb": round(os.path.getsize(path) / 1e9, 2),
               "pair_evals_per_s": round(pts * rec_x.shape[0] / dt / 1e9,
                                         1), "device": str(dev)})
@@ -737,6 +762,7 @@ def stage_stress_md(args):
     dtype = np.float32
     lig = load_prmtop(f"{DATA}/ligand.prmtop")
     crd = load_inpcrd(f"{DATA}/ligand.trans.inpcrd")
+    counts, _ = stress_box(args.scale)
     if args.region > 0:
         rshape = (args.region,) * 3
     else:
@@ -747,9 +773,15 @@ def stage_stress_md(args):
         span = crd.max(0) - crd.min(0)
         need = np.ceil(span / np.asarray(S_SPACING)).astype(int) + 1 + 3
         rshape = tuple(int(n + 2 * args.margin) for n in need)
+    if any(r > c for r, c in zip(rshape, counts)):
+        raise SystemExit(
+            f"region {rshape} exceeds the scale-{args.scale} grid "
+            f"{counts}: the ligand cloud + halo + margin must fit "
+            f"inside the box (reduce --margin or --scale; the cloud "
+            f"alone needs scale <= 2)")
     log(f"region shape {rshape} "
         f"({np.prod(np.array(rshape) - 1) / 1e6:.1f}M cells)")
-    evs = [StreamedGridEvaluator(stress_path(gt),
+    evs = [StreamedGridEvaluator(stress_path(gt, args.scale),
                                  InterpolationMethod.BSPLINE,
                                  region_shape=rshape)
            for gt in GRID_TYPES]
@@ -857,8 +889,9 @@ def stage_stress_md(args):
           "full_escalations": sum(s.full_escalations for s in sets),
           "drain_redraws": drained,
           "host_rss_gb": round(rss_gb(), 1),
-          "grid_points": int(np.prod(S_COUNTS)),
-          "on_disk_gb": round(sum(os.path.getsize(stress_path(g))
+          "grid_points": int(np.prod(counts)), "scale": args.scale,
+          "on_disk_gb": round(sum(os.path.getsize(stress_path(g,
+                                                              args.scale))
                                   for g in GRID_TYPES) / 1e9, 2),
           "device": str(jax.devices()[0])})
 
@@ -922,7 +955,14 @@ def main():
     h.add_argument("--dt-fs", type=float, default=0.5)
     sg = sub.add_parser("stress-gen")
     sg.add_argument("--force", action="store_true")
+    sg.add_argument("--scale", type=int, default=1,
+                    help="divide box counts by N (spacing stays 0.005 "
+                         "nm, box re-centered on the ligand cloud); "
+                         "rows carry a scale field")
     sm = sub.add_parser("stress-md")
+    sm.add_argument("--scale", type=int, default=1,
+                    help="use the scale-N reduced stress grids from "
+                         "stress-gen --scale N")
     sm.add_argument("--replicas", type=int, default=100)
     sm.add_argument("--region", type=int, default=0,
                     help="cubic region edge; 0 = auto-size from the "
